@@ -1,0 +1,160 @@
+"""As-of (point-in-time) join — north-rule operator.
+
+Semantics (FIXTURES.md §F5): for each turn ``(conv_id, ts)``, attach
+``ref_value`` of the *latest* snapshot with ``snap_ts <= ts``; null if
+none. No feature ever reads a snapshot with later ts — zero temporal
+leakage.
+
+Physical strategy (the 100 TB plan): **union + last(ignorenulls) over an
+ordered window** — tag both sides, union them, single shuffle+sort on
+``(conv_id, ts, side)``, then carry the last snapshot value forward.
+Compared to a range join this
+
+- avoids the O(turns x snapshots) range-explosion a naive
+  ``t.ts >= s.snap_ts`` join produces,
+- needs exactly one exchange (AQE-splittable on skewed conv_ids),
+- degrades gracefully for conversations with millions of turns: the
+  window is a streaming pass over each partition's sorted run.
+
+The sort key breaks ties as snapshot-first (side 0 < side 1), so a
+snapshot exactly at a turn's ts IS visible to that turn (<=, not <).
+
+A broadcast variant for small snapshot dims is provided for completeness
+(`asof_join_broadcast`) — when the snapshot side fits in memory, Spark
+broadcasts it and the turn side never shuffles at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pymfe_spark.functions.sql_exprs import r
+from pymfe_spark.operators.base import turns
+from pymfe_spark.plans.catalog import register
+from pymfe_spark.sources import SNAPSHOTS_SQL, snapshots, with_transcripts_cte
+
+GROUP = "asof"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "snap_ts",
+    value_cols: tuple[str, ...] = ("ref_value",),
+) -> DataFrame:
+    """Generic as-of join: latest right row with right_ts <= left_ts.
+
+    Returns ``left`` + the as-of ``value_cols``. Implementation: tagged
+    union + ``last(value, ignorenulls=True)`` over
+    ``Window.partitionBy(on).orderBy(ts, side).rowsBetween(unboundedPreceding,
+    currentRow)`` (SURVEY.md §2.9).
+    """
+    lcols = left.columns
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+
+    l_tag = left.select(
+        F.col(on),
+        us(left_ts).alias("_ts_us"),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols if c != on],
+        *[F.lit(None).cast("double").alias(f"_v_{v}") for v in value_cols],
+    )
+    r_tag = right.select(
+        F.col(on),
+        us(right_ts).alias("_ts_us"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols if c != on],
+        *[F.col(v).cast("double").alias(f"_v_{v}") for v in value_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts_us", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_v_{v}", ignorenulls=True).over(w).alias(f"_asof_{v}")
+            for v in value_cols
+        ],
+    ).filter(F.col("_side") == 1)
+    out_cols: list[Column] = [F.col(on)]
+    out_cols += [F.col(f"_l_{c}").alias(c) for c in lcols if c != on]
+    out_cols += [F.col(f"_asof_{v}").alias(v) for v in value_cols]
+    return carried.select(*out_cols)
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "snap_ts",
+    value_col: str = "ref_value",
+) -> DataFrame:
+    """Broadcast variant: collapse the snapshot side to one array per
+    key, broadcast-join it, then pick the as-of element with
+    ``element_at(filter(...), -1)`` — zero shuffle on the (huge) left.
+
+    Correct when each key's snapshot list fits in a row (fine for
+    reference dims); the generic ``asof_join`` is the unbounded path.
+    """
+    packed = right.groupBy(on).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros(F.col(right_ts).cast("timestamp")).alias("t"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("_snaps")
+    )
+    j = left.join(F.broadcast(packed), on, "left")
+    lts = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    # try_element_at: null (not error) when no snapshot precedes the turn
+    pick = F.try_element_at(
+        F.filter(F.col("_snaps"), lambda s: s["t"] <= lts), F.lit(-1)
+    )
+    return j.select(*left.columns, pick["v"].alias(value_col))
+
+
+_ASOF_ORACLE = with_transcripts_cte(
+    """
+SELECT t.conv_id, t.turn_idx, round(s.ref_value, 6) AS ref_value
+FROM turns t ASOF LEFT JOIN snaps s
+  ON t.conv_id = s.conv_id AND t.ts >= s.snap_ts
+""",
+    extra_ctes="""
+ turns AS (SELECT conv_id, turn_idx, ts FROM transcripts),
+ snaps AS ({})""".format(SNAPSHOTS_SQL),
+)
+
+
+@register("asof_snapshot", oracle=_ASOF_ORACLE, group=GROUP)
+def asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of merge of every turn against the reference snapshot table
+    (north_star 'as-of merge against reference snapshots'). Oracle uses
+    DuckDB's native ASOF JOIN — an independent implementation of the
+    same semantics."""
+    t = turns(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    s = snapshots(spark, sf_dir)
+    out = asof_join(t, s)
+    return out.select("conv_id", "turn_idx", r("ref_value").alias("ref_value"))
+
+
+_ASOF_B_ORACLE = _ASOF_ORACLE
+
+
+@register("asof_snapshot_broadcast", oracle=_ASOF_B_ORACLE, group=GROUP)
+def asof_snapshot_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics via the broadcast-packed-array physical strategy —
+    both plans must agree with the DuckDB ASOF oracle."""
+    t = turns(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    s = snapshots(spark, sf_dir)
+    out = asof_join_broadcast(t, s)
+    return out.select("conv_id", "turn_idx", r("ref_value").alias("ref_value"))

@@ -1,0 +1,296 @@
+"""Windowed / temporal operators — the north-rule additions.
+
+The reference has no ordering concept (instances are exchangeable,
+SURVEY.md §2.4); these operators are new engine surface required by
+BASELINE.json:north_rule: stable turn ordering, lag/lead inter-turn
+deltas, sessionization, expanding point-in-time features, rolling
+frames, per-conversation top-k.
+
+Every operator is a single Window over ``partitionBy(conv_id)
+orderBy(turn_idx)`` — one shuffle, sorted once, all frames reuse the
+sort. Point-in-time correctness: every expanding frame is
+``rowsBetween(unboundedPreceding, currentRow)``, so no feature at
+(conv_id, ts) ever reads a later turn (zero temporal leakage —
+verified by tests/test_leakage.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pymfe_spark.functions.sql_exprs import r
+from pymfe_spark.operators.base import TURNS_SQL, turns
+from pymfe_spark.plans.catalog import register
+from pymfe_spark.sources import with_transcripts_cte
+
+GROUP = "temporal"
+
+SESSION_GAP_S = 1800.0
+
+
+def _w():
+    return Window.partitionBy("conv_id").orderBy("turn_idx")
+
+
+# ---------------------------------------------------------------------
+# lag / lead turn deltas
+# ---------------------------------------------------------------------
+
+_DELTAS_ORACLE = with_transcripts_cte(
+    """
+SELECT conv_id, turn_idx, role,
+       round(ts_delta_s, 6) AS ts_delta_s,
+       round(lead(ts_delta_s) OVER w, 6) AS next_ts_delta_s,
+       lag(role) OVER w AS prev_role,
+       round(text_len - lag(text_len) OVER w, 6) AS text_len_delta,
+       round(lag(text_len, 2) OVER w, 6) AS text_len_lag2
+FROM turns
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+""",
+    extra_ctes=TURNS_SQL,
+)
+
+
+@register("turn_deltas", oracle=_DELTAS_ORACLE, group=GROUP)
+def turn_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn lag/lead features: inter-turn gap, next gap, previous
+    role, text-length delta, 2-step lag (north_star 'lag/lead features').
+    """
+    t = turns(spark, sf_dir)
+    w = _w()
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        r("ts_delta_s").alias("ts_delta_s"),
+        r(F.lead("ts_delta_s").over(w)).alias("next_ts_delta_s"),
+        F.lag("role").over(w).alias("prev_role"),
+        r(F.col("text_len") - F.lag("text_len").over(w)).alias("text_len_delta"),
+        r(F.lag("text_len", 2).over(w)).alias("text_len_lag2"),
+    )
+
+
+# ---------------------------------------------------------------------
+# sessionization: split on ts gap > threshold, running session id
+# ---------------------------------------------------------------------
+
+_SESSION_TURNS_SQL = (
+    TURNS_SQL
+    + f""",
+ sess AS (
+   SELECT conv_id, turn_idx, ts, text_len, ts_delta_s,
+          sum(CASE WHEN ts_delta_s IS NULL OR ts_delta_s > {SESSION_GAP_S}
+                   THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+   FROM turns)"""
+)
+
+_SESSIONIZE_ORACLE = with_transcripts_cte(
+    """
+SELECT conv_id, turn_idx, cast(session_id AS int) AS session_id
+FROM sess
+""",
+    extra_ctes=_SESSION_TURNS_SQL,
+)
+
+
+def sessionized(spark: SparkSession, sf_dir: str, gap_s: float = SESSION_GAP_S) -> DataFrame:
+    """turns + running session_id (gap > gap_s opens a new session)."""
+    t = turns(spark, sf_dir)
+    new_sess = F.when(
+        F.col("ts_delta_s").isNull() | (F.col("ts_delta_s") > gap_s), 1
+    ).otherwise(0)
+    return t.withColumn(
+        "session_id",
+        F.sum(new_sess)
+        .over(_w().rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+
+
+@register("sessionize_turns", oracle=_SESSIONIZE_ORACLE, group=GROUP)
+def sessionize_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn session assignment (north_star 'sessionized gap stats'):
+    a new session opens when the inter-turn gap exceeds 1800 s. Running
+    ``sum`` over the ordered conv window — batch equivalent of a
+    streaming session window, no state store needed."""
+    return sessionized(spark, sf_dir).select("conv_id", "turn_idx", "session_id")
+
+
+_SESSION_STATS_ORACLE = with_transcripts_cte(
+    """
+SELECT conv_id, cast(session_id AS int) AS session_id,
+       count(*)                                    AS n_turns,
+       round(cast(epoch_us(max(ts)) - epoch_us(min(ts)) AS double) / 1e6, 6)
+                                                   AS duration_s,
+       round(avg(CASE WHEN ts_delta_s <= {gap} THEN ts_delta_s END), 6)
+                                                   AS mean_gap_s,
+       round(avg(text_len), 6)                     AS mean_len
+FROM sess
+GROUP BY conv_id, session_id
+""".format(gap=SESSION_GAP_S),
+    extra_ctes=_SESSION_TURNS_SQL,
+)
+
+
+@register("session_stats", oracle=_SESSION_STATS_ORACLE, group=GROUP)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates: turn count, wall duration, mean in-session
+    gap, mean text length."""
+    s = sessionized(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        s.withColumn("us", us)
+        .groupBy("conv_id", "session_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            r(((F.max("us") - F.min("us")).cast("double") / 1e6)).alias(
+                "duration_s"
+            ),
+            r(
+                F.avg(
+                    F.when(
+                        F.col("ts_delta_s") <= SESSION_GAP_S, F.col("ts_delta_s")
+                    )
+                )
+            ).alias("mean_gap_s"),
+            r(F.avg("text_len")).alias("mean_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# expanding point-in-time features (backfill frame)
+# ---------------------------------------------------------------------
+
+_EXPANDING_ORACLE = with_transcripts_cte(
+    """
+SELECT conv_id, turn_idx,
+       count(*)  OVER w                    AS cum_n,
+       round(avg(text_len) OVER w, 6)      AS cum_mean_len,
+       round(stddev_samp(text_len) OVER w, 6) AS cum_sd_len,
+       round(max(text_len) OVER w, 6)      AS cum_max_len,
+       round(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+             OVER w * 1.0 / count(*) OVER w, 6) AS cum_tool_rate
+FROM turns
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    extra_ctes=TURNS_SQL,
+)
+
+
+@register("expanding_pit", oracle=_EXPANDING_ORACLE, group=GROUP)
+def expanding_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding point-in-time features: at every turn, statistics over
+    the prefix ts' <= ts only (north_star 'per-turn feature vectors',
+    zero temporal leakage by frame construction)."""
+    t = turns(spark, sf_dir)
+    w = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.count("*").over(w).alias("cum_n"),
+        r(F.avg("text_len").over(w)).alias("cum_mean_len"),
+        r(F.stddev_samp("text_len").over(w)).alias("cum_sd_len"),
+        r(F.max("text_len").over(w)).alias("cum_max_len"),
+        r(
+            F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).over(w)
+            / F.count("*").over(w)
+        ).alias("cum_tool_rate"),
+    )
+
+
+# ---------------------------------------------------------------------
+# rolling frame (last 5 turns)
+# ---------------------------------------------------------------------
+
+_ROLLING_ORACLE = with_transcripts_cte(
+    """
+SELECT conv_id, turn_idx,
+       round(avg(text_len) OVER w, 6) AS roll5_mean_len,
+       round(max(text_len) OVER w, 6) AS roll5_max_len,
+       round(sum(coalesce(ts_delta_s, 0)) OVER w, 6) AS roll5_span_s
+FROM turns
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+    extra_ctes=TURNS_SQL,
+)
+
+
+@register("rolling_window", oracle=_ROLLING_ORACLE, group=GROUP)
+def rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-turn frame: mean/max text length and time span."""
+    t = turns(spark, sf_dir)
+    w = _w().rowsBetween(-4, Window.currentRow)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        r(F.avg("text_len").over(w)).alias("roll5_mean_len"),
+        r(F.max("text_len").over(w)).alias("roll5_max_len"),
+        r(F.sum(F.coalesce("ts_delta_s", F.lit(0.0))).over(w)).alias("roll5_span_s"),
+    )
+
+
+# ---------------------------------------------------------------------
+# per-conversation top-k (sorts/limits tier, SURVEY.md §2.5)
+# ---------------------------------------------------------------------
+
+_TOPK_ORACLE = with_transcripts_cte(
+    """
+SELECT conv_id, turn_idx, round(text_len, 6) AS text_len, cast(rk AS int) AS rk
+FROM (SELECT conv_id, turn_idx, text_len,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY text_len DESC, turn_idx ASC) AS rk
+      FROM turns)
+WHERE rk <= 3
+""",
+    extra_ctes=TURNS_SQL,
+)
+
+
+@register("topk_longest_turns", oracle=_TOPK_ORACLE, group=GROUP)
+def topk_longest_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest turns per conversation — rank-filter pattern
+    (reference analogue: max_samples head-k cut,
+    /root/reference/pymfe/statistical.py:970-976). Deterministic
+    tie-break on turn_idx."""
+    t = turns(spark, sf_dir)
+    rk = F.row_number().over(
+        Window.partitionBy("conv_id").orderBy(F.desc("text_len"), F.asc("turn_idx"))
+    )
+    return (
+        t.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("conv_id", "turn_idx", r("text_len").alias("text_len"), F.col("rk").cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------
+# global crosstab (hash aggregation, SURVEY.md §2.2 pd.crosstab analogue)
+# ---------------------------------------------------------------------
+
+_CROSSTAB_ORACLE = with_transcripts_cte(
+    """
+SELECT role, coalesce(tool, 'NONE') AS tool0, count(*) AS n
+FROM transcripts GROUP BY role, coalesce(tool, 'NONE')
+"""
+)
+
+
+@register("crosstab_role_tool", oracle=_CROSSTAB_ORACLE, group=GROUP)
+def crosstab_role_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global role x tool contingency table — the reference's
+    pd.crosstab joint-frequency (/root/reference/pymfe/info_theory.py:
+    186-195) as a partial+final hash aggregation, long format."""
+    from pymfe_spark.sources import transcripts
+
+    return (
+        transcripts(spark, sf_dir)
+        .groupBy("role", F.coalesce("tool", F.lit("NONE")).alias("tool0"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,72 @@
+"""Query catalog — the engine's public query surface.
+
+Every operator from SURVEY.md §2 registers here as a named query:
+``name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)``.
+
+The oracle SQL is ANSI SQL runnable by DuckDB over the same parquet
+tables (the driver pre-registers them as views); queries over the
+transcript table wrap their body in the shared ``TRANSCRIPTS_SQL`` CTE
+so Spark and DuckDB compute from *identical* inputs. Queries whose
+semantics are not SQL-expressible (MinHash banding, Arrow-kernel
+matrix measures) register ``oracle=None`` → rows-only check.
+
+This mirrors the reference's measure registry
+(/root/reference/pymfe/_internal.py:103-140 VALID_GROUPS /
+VALID_MFECLASSES + process_features at _internal.py:1035-1151): a
+static, plan-time list of operator invocations — the logical plan.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryEntry:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    group: str
+
+
+CATALOG: dict[str, QueryEntry] = {}
+
+# modules whose import registers queries
+_OPERATOR_MODULES = (
+    "pymfe_spark.operators.conv_stats",
+    "pymfe_spark.operators.conv_info",
+    "pymfe_spark.operators.temporal",
+    "pymfe_spark.operators.asof",
+    "pymfe_spark.operators.textops",
+    "pymfe_spark.operators.dedup",
+    "pymfe_spark.operators.similarity",
+    "pymfe_spark.operators.multimodal",
+    "pymfe_spark.plans.extractor_queries",
+    "pymfe_spark.plans.flagship",
+)
+
+
+def register(name: str, oracle: str | None = None, group: str = "misc"):
+    """Decorator: add a query to the catalog."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        CATALOG[name] = QueryEntry(name=name, fn=fn, oracle=oracle, group=group)
+        return fn
+
+    return deco
+
+
+def load_catalog() -> dict[str, QueryEntry]:
+    """Import all operator modules (idempotent) and return the catalog."""
+    for mod in _OPERATOR_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError:
+            pass  # module not built yet (incremental rounds)
+    return CATALOG
