@@ -48,8 +48,7 @@ _CLASSBAL_ORACLE = with_transcripts_cte(
     """
 SELECT conv_id,
        round(-sum(p * log2(p)), 6)                           AS class_ent,
-       round(CASE WHEN count(*) > 1
-             THEN -sum(p * ln(p)) / ln(count(*)) END, 6)     AS nre,
+       round(-sum(p * ln(p)), 6)                             AS nre,
        round(CASE WHEN count(*) > 1
              THEN -sum(p * log2(p)) / log2(count(*)) END, 6) AS c1,
        round(1.0 - 1.0 / (((count(*) - 1.0) / count(*))
@@ -86,9 +85,7 @@ def mf_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return enriched.groupBy("conv_id").agg(
         r(-F.sum(F.col("p") * F.log2("p"))).alias("class_ent"),
-        r(
-            F.when(k > 1, -F.sum(F.col("p") * F.log("p")) / F.log(k.cast("double")))
-        ).alias("nre"),
+        r(-F.sum(F.col("p") * F.log("p"))).alias("nre"),
         r(F.when(k > 1, -F.sum(F.col("p") * F.log2("p")) / F.log2(k.cast("double")))).alias(
             "c1"
         ),
@@ -540,7 +537,7 @@ SELECT maj.conv_id,
 FROM
  (SELECT * FROM ranked WHERE rk_maj = 1) maj
 JOIN
- (SELECT * FROM ranked WHERE rk_min = 1) mino
+ (SELECT * FROM ranked2 WHERE rk_min = 1) mino
 ON maj.conv_id = mino.conv_id
 """,
     extra_ctes=TURNS_SQL
@@ -551,10 +548,12 @@ ON maj.conv_id = mino.conv_id
           FROM turns GROUP BY conv_id, role),
  ranked AS (SELECT *,
                    row_number() OVER (PARTITION BY conv_id
-                                      ORDER BY c DESC, role ASC) AS rk_maj,
-                   row_number() OVER (PARTITION BY conv_id
-                                      ORDER BY c ASC, role ASC)  AS rk_min
-            FROM cent)""",
+                                      ORDER BY c DESC, role ASC) AS rk_maj
+            FROM cent),
+ ranked2 AS (SELECT *,
+                    row_number() OVER (PARTITION BY conv_id
+                                       ORDER BY c ASC, role ASC) AS rk_min
+             FROM ranked WHERE rk_maj > 1)""",
 )
 
 
@@ -575,7 +574,9 @@ def mf_gravity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             Window.partitionBy("conv_id").orderBy(F.desc("c"), F.asc("role"))
         ),
-    ).withColumn(
+    )
+    # minority chosen among the non-majority classes (tie-safe)
+    ranked2 = ranked.filter(F.col("rk_maj") > 1).withColumn(
         "rk_min",
         F.row_number().over(
             Window.partitionBy("conv_id").orderBy(F.asc("c"), F.asc("role"))
@@ -584,7 +585,7 @@ def mf_gravity(spark: SparkSession, sf_dir: str) -> DataFrame:
     maj = ranked.filter(F.col("rk_maj") == 1).select(
         "conv_id", F.col("c_len").alias("maj_len"), F.col("c_gap").alias("maj_gap")
     )
-    mino = ranked.filter(F.col("rk_min") == 1).select(
+    mino = ranked2.filter(F.col("rk_min") == 1).select(
         "conv_id", F.col("c_len").alias("min_len"), F.col("c_gap").alias("min_gap")
     )
     return maj.join(mino, "conv_id").select(

@@ -1,0 +1,849 @@
+"""Arrow-tier measure kernels — pure-numpy re-implementations of the
+reference's ft_* measures, executed per conversation batch inside
+``applyInPandas`` (zero per-row Python; one Arrow batch per conv).
+
+The sandbox has no scipy/sklearn, so every kernel is written from the
+published formulas; reference citations mark the parity target.
+Deviations (documented):
+
+- ``nr_norm`` uses the D'Agostino K² normality test (closed-form chi2
+  survival) instead of Shapiro-Wilk (statistical.py:918-1065 defaults to
+  shapiro-wilk; scipy unavailable here). Same head-5000 row cap.
+- ``can_cor`` uses classical eigen-CCA instead of sklearn's NIPALS CCA
+  (statistical.py:211-262) — identical canonical correlations at
+  convergence.
+- ``sd_ratio`` implements standard Box's M (statistical.py:1162-1307)
+  without the reference's np.flip of the covariance stack (logdet is
+  flip-invariant; weight pairing kept in class order).
+
+Shared intermediates (class masks, distance matrices, crosstabs) are
+computed once per batch and threaded through the kernels — the engine
+analogue of the reference's precompute cache
+(/root/reference/pymfe/_internal.py:1169-1335).
+
+Every kernel is exception-contained: failure -> NaN, never task failure
+(mirrors _internal.py:568-621).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import numpy as np
+
+EPS = 1e-8  # info_theory.py:184-195 crosstab smoothing
+
+
+# ---------------------------------------------------------------------
+# batch container with lazy shared precomputations
+# ---------------------------------------------------------------------
+
+
+@dataclass
+class ConvBatch:
+    """One conversation's views: N (numeric), C (categorical), y.
+
+    Mirrors the reference's X -> N/C/y split (mfe.py:740-902):
+    N columns: text_len, ts_delta_s (first-turn 0), turn_idx.
+    C columns: role, tool ('NONE' for null), equal-freq-binned text_len.
+    y: role.
+    """
+
+    N: np.ndarray  # (n, d_num) float
+    C: np.ndarray  # (n, d_cat) object
+    y: np.ndarray  # (n,) object
+    _cache: dict = field(default_factory=dict)
+
+    # --- shared precomputations (computed once, reused) ---
+
+    def classes(self) -> tuple[np.ndarray, np.ndarray]:
+        if "classes" not in self._cache:
+            self._cache["classes"] = np.unique(self.y, return_counts=True)
+        return self._cache["classes"]
+
+    def cls_inds(self) -> np.ndarray:
+        if "cls_inds" not in self._cache:
+            classes, _ = self.classes()
+            self._cache["cls_inds"] = np.array(
+                [self.y == c for c in classes]
+            )
+        return self._cache["cls_inds"]
+
+    def dist_mat(self) -> np.ndarray:
+        """Euclidean all-pairs distance matrix of raw N
+        (clustering.py:105-215 precompute_group_distances)."""
+        if "dist_mat" not in self._cache:
+            self._cache["dist_mat"] = _cdist(self.N, self.N)
+        return self._cache["dist_mat"]
+
+    def concept_dist_mat(self) -> np.ndarray:
+        """Euclidean distances of 0-1 min-max-scaled N
+        (concept.py:56-97 precompute_concept_dist)."""
+        if "concept_dist" not in self._cache:
+            X = self.N
+            mn, mx = X.min(axis=0), X.max(axis=0)
+            rng = np.where(mx > mn, mx - mn, 1.0)
+            Xs = (X - mn) / rng
+            self._cache["concept_dist"] = _cdist(Xs, Xs)
+        return self._cache["concept_dist"]
+
+    def cov_mat(self) -> np.ndarray:
+        if "cov" not in self._cache:
+            self._cache["cov"] = np.cov(self.N, rowvar=False, ddof=1)
+        return self._cache["cov"]
+
+    def corr_mat(self) -> np.ndarray:
+        if "corr" not in self._cache:
+            with np.errstate(all="ignore"):
+                self._cache["corr"] = np.corrcoef(self.N, rowvar=False)
+        return self._cache["corr"]
+
+    def can_cors(self) -> np.ndarray:
+        if "can_cors" not in self._cache:
+            self._cache["can_cors"] = _can_cors(self.N, self.y)
+        return self._cache["can_cors"]
+
+    def can_cor_eigvals(self) -> np.ndarray:
+        """lambda = rho^2 / (1 - rho^2) (statistical.py:192-209)."""
+        rho = self.can_cors()
+        rho2 = np.clip(rho**2, 0.0, 1.0 - 1e-12)
+        return rho2 / (1.0 - rho2)
+
+
+def _cdist(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Euclidean cdist via the expanded-square identity."""
+    aa = (A * A).sum(axis=1)[:, None]
+    bb = (B * B).sum(axis=1)[None, :]
+    sq = aa + bb - 2.0 * (A @ B.T)
+    np.maximum(sq, 0.0, out=sq)
+    return np.sqrt(sq)
+
+
+def _entropy(counts: np.ndarray, base: float | None = None) -> float:
+    """Shannon entropy of a count vector. base=None -> natural log
+    (scipy.stats.entropy default, info_theory.py:158-180 uses base=2)."""
+    p = counts / counts.sum()
+    p = p[p > 0]
+    h = float(-(p * np.log(p)).sum())
+    return h / np.log(base) if base else h
+
+
+def _crosstab_probs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Dense normalized contingency table (zero cells included)."""
+    av, ai = np.unique(a, return_inverse=True)
+    bv, bi = np.unique(b, return_inverse=True)
+    tab = np.zeros((av.size, bv.size))
+    np.add.at(tab, (ai, bi), 1.0)
+    return tab / tab.sum()
+
+
+def _joint_ent(a: np.ndarray, b: np.ndarray) -> float:
+    """eps-smoothed joint entropy over the DENSE crosstab
+    (info_theory.py:183-195,457-508): scipy.stats.entropy(p + eps,
+    base=2) — normalizes internally."""
+    p = _crosstab_probs(a, b).ravel() + EPS
+    p = p / p.sum()
+    return float(-(p * np.log2(p)).sum())
+
+
+def _col_ent(col: np.ndarray) -> float:
+    _, cnt = np.unique(col, return_counts=True)
+    return _entropy(cnt, base=2)
+
+
+def _conc(a: np.ndarray, b: np.ndarray) -> float:
+    """Goodman-Kruskal tau concentration coefficient of a -> b
+    (info_theory.py:198-213)."""
+    pij = _crosstab_probs(a, b)
+    pi = pij.sum(axis=1)
+    pj = pij.sum(axis=0)
+    denom = 1.0 - (pj**2).sum()
+    if denom == 0:
+        return float("nan")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        num = (pij**2 / pi[:, None]).sum() - (pj**2).sum()
+    return float(num / denom)
+
+
+def _can_cors(N: np.ndarray, y: np.ndarray, reg: float = 1e-10) -> np.ndarray:
+    """Classical CCA between N and one-hot(y) (k-1 components dropped by
+    rank): canonical correlations are the singular values of
+    Sxx^-1/2 Sxy Syy^-1/2."""
+    classes = np.unique(y)
+    if classes.size < 2 or N.shape[0] < 3:
+        return np.array([])
+    Y = (y[:, None] == classes[None, :]).astype(float)
+    Xc = N - N.mean(axis=0)
+    Yc = Y - Y.mean(axis=0)
+    n = N.shape[0]
+    Sxx = Xc.T @ Xc / (n - 1) + reg * np.eye(Xc.shape[1])
+    Syy = Yc.T @ Yc / (n - 1) + reg * np.eye(Yc.shape[1])
+    Sxy = Xc.T @ Yc / (n - 1)
+
+    def inv_sqrt(S):
+        w, V = np.linalg.eigh(S)
+        w = np.clip(w, reg, None)
+        return V @ np.diag(w**-0.5) @ V.T
+
+    M = inv_sqrt(Sxx) @ Sxy @ inv_sqrt(Syy)
+    s = np.linalg.svd(M, compute_uv=False)
+    k = min(classes.size, N.shape[1])
+    return np.clip(s[:k], 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------
+# measure registry
+# ---------------------------------------------------------------------
+
+MeasureFn = Callable[[ConvBatch], "float | np.ndarray"]
+
+
+@dataclass(frozen=True)
+class MeasureDef:
+    name: str
+    group: str
+    fn: MeasureFn
+    needs_y: bool = False
+
+
+MEASURES: dict[str, MeasureDef] = {}
+
+
+def measure(name: str, group: str, needs_y: bool = False):
+    def deco(fn: MeasureFn) -> MeasureFn:
+        MEASURES[name] = MeasureDef(name, group, fn, needs_y)
+        return fn
+
+    return deco
+
+
+# ---- general (/root/reference/pymfe/general.py) ----------------------
+
+measure("nr_inst", "general")(lambda b: float(b.N.shape[0]))  # 318-337
+measure("nr_attr", "general")(lambda b: float(b.N.shape[1] + b.C.shape[1]))  # 212-231
+measure("nr_num", "general")(lambda b: float(b.N.shape[1]))  # 340-364
+measure("nr_cat", "general")(lambda b: float(b.C.shape[1]))  # 263-284
+measure("attr_to_inst", "general")(
+    lambda b: (b.N.shape[1] + b.C.shape[1]) / b.N.shape[0]
+)  # 88-110
+measure("inst_to_attr", "general")(
+    lambda b: b.N.shape[0] / (b.N.shape[1] + b.C.shape[1])
+)  # 187-209
+measure("cat_to_num", "general")(lambda b: b.C.shape[1] / b.N.shape[1])  # 113-150
+measure("num_to_cat", "general")(lambda b: b.N.shape[1] / b.C.shape[1])  # 367-405
+measure("nr_class", "general", needs_y=True)(
+    lambda b: float(np.unique(b.y).size)
+)  # 287-315
+
+
+@measure("freq_class", "general", needs_y=True)
+def _freq_class(b: ConvBatch) -> np.ndarray:
+    """Relative class frequencies (general.py:153-184) — vector,
+    summarized downstream."""
+    _, cnt = b.classes()
+    return cnt / cnt.sum()
+
+
+@measure("nr_bin", "general")
+def _nr_bin(b: ConvBatch) -> float:
+    """#columns with exactly 2 distinct values (general.py:234-260),
+    over both views."""
+    n = 0
+    for j in range(b.N.shape[1]):
+        n += int(np.unique(b.N[:, j]).size == 2)
+    for j in range(b.C.shape[1]):
+        n += int(np.unique(b.C[:, j]).size == 2)
+    return float(n)
+
+
+# ---- statistical (/root/reference/pymfe/statistical.py) --------------
+
+
+def _per_col(fn):
+    return lambda b: np.array([fn(b.N[:, j]) for j in range(b.N.shape[1])])
+
+
+measure("mean", "statistical")(_per_col(np.mean))  # 794-814
+measure("median", "statistical")(_per_col(np.median))  # 817-837
+measure("min", "statistical")(_per_col(np.min))  # 840-860
+measure("max", "statistical")(_per_col(np.max))  # 771-791
+measure("range", "statistical")(_per_col(np.ptp))  # 1114-1133
+measure("sd", "statistical")(_per_col(lambda v: np.std(v, ddof=1)))  # 1136-1159
+measure("var", "statistical")(_per_col(lambda v: np.var(v, ddof=1)))  # 1439-1462
+measure("iq_range", "statistical")(
+    _per_col(lambda v: np.quantile(v, 0.75) - np.quantile(v, 0.25))
+)  # 659-678
+measure("mad", "statistical")(
+    _per_col(lambda v: 1.4826 * np.median(np.abs(v - np.median(v))))
+)  # 741-768
+
+
+@measure("g_mean", "statistical")
+def _g_mean(b: ConvBatch) -> np.ndarray:
+    """statistical.py:584-634: negative -> nan, zero -> 0."""
+    out = []
+    for j in range(b.N.shape[1]):
+        v = b.N[:, j]
+        if v.min() < 0:
+            out.append(np.nan)
+        elif v.min() == 0:
+            out.append(0.0)
+        else:
+            out.append(float(np.exp(np.mean(np.log(v)))))
+    return np.array(out)
+
+
+@measure("h_mean", "statistical")
+def _h_mean(b: ConvBatch) -> np.ndarray:
+    """statistical.py:637-656."""
+    with np.errstate(all="ignore"):
+        return np.array(
+            [v.size / np.sum(1.0 / v) for v in b.N.T]
+        )
+
+
+@measure("t_mean", "statistical")
+def _t_mean(b: ConvBatch) -> np.ndarray:
+    """20%-trimmed mean (statistical.py:1411-1436)."""
+    out = []
+    for v in b.N.T:
+        s = np.sort(v)
+        k = int(np.floor(s.size * 0.2))
+        out.append(float(s[k : s.size - k].mean()) if s.size - 2 * k > 0 else np.nan)
+    return np.array(out)
+
+
+def _skew_m3(v: np.ndarray) -> float:
+    n = v.size
+    m2 = ((v - v.mean()) ** 2).mean()
+    if m2 == 0 or n < 2:
+        return float("nan")
+    g1 = ((v - v.mean()) ** 3).mean() / m2**1.5
+    return float(g1 * ((n - 1) / n) ** 1.5)
+
+
+def _kurt_m3(v: np.ndarray) -> float:
+    n = v.size
+    m2 = ((v - v.mean()) ** 2).mean()
+    if m2 == 0 or n < 2:
+        return float("nan")
+    g2 = ((v - v.mean()) ** 4).mean() / m2**2 - 3.0
+    return float((g2 + 3.0) * (1.0 - 1.0 / n) ** 2 - 3.0)
+
+
+measure("skewness", "statistical")(_per_col(_skew_m3))  # 1310-1365
+measure("kurtosis", "statistical")(_per_col(_kurt_m3))  # 681-738
+
+
+@measure("sparsity", "statistical")
+def _sparsity(b: ConvBatch) -> np.ndarray:
+    """(n/d - 1)/(n - 1) per column over ALL attributes
+    (statistical.py:1368-1408 operates on X)."""
+    n = b.N.shape[0]
+    vals = []
+    for j in range(b.N.shape[1]):
+        d = np.unique(b.N[:, j]).size
+        vals.append((n / d - 1.0) / (n - 1.0) if n > 1 else np.nan)
+    for j in range(b.C.shape[1]):
+        d = np.unique(b.C[:, j]).size
+        vals.append((n / d - 1.0) / (n - 1.0) if n > 1 else np.nan)
+    return np.array(vals)
+
+
+@measure("nr_outliers", "statistical")
+def _nr_outliers(b: ConvBatch) -> float:
+    """#columns with a boxplot (whis=1.5) outlier (statistical.py:
+    1068-1111)."""
+    cnt = 0
+    for v in b.N.T:
+        q1, q3 = np.quantile(v, (0.25, 0.75))
+        iqr = q3 - q1
+        if (v.min() < q1 - 1.5 * iqr) or (v.max() > q3 + 1.5 * iqr):
+            cnt += 1
+    return float(cnt)
+
+
+@measure("cor", "statistical")
+def _cor(b: ConvBatch) -> np.ndarray:
+    """abs lower triangle of corr matrix (statistical.py:410-450)."""
+    C = np.abs(b.corr_mat())
+    return C[np.tril_indices_from(C, k=-1)]
+
+
+@measure("cov", "statistical")
+def _cov(b: ConvBatch) -> np.ndarray:
+    """abs lower triangle of covariance (statistical.py:453-498)."""
+    C = np.abs(b.cov_mat())
+    return C[np.tril_indices_from(C, k=-1)]
+
+
+@measure("nr_cor_attr", "statistical")
+def _nr_cor_attr(b: ConvBatch) -> float:
+    """fraction of pairs with |rho| >= 0.5 (statistical.py:863-915)."""
+    v = np.abs(b.corr_mat())[np.tril_indices(b.N.shape[1], k=-1)]
+    return float(np.mean(v >= 0.5)) if v.size else float("nan")
+
+
+@measure("eigenvalues", "statistical")
+def _eigenvalues(b: ConvBatch) -> np.ndarray:
+    """eigvals of the covariance matrix (statistical.py:547-581)."""
+    return np.linalg.eigvalsh(b.cov_mat())[::-1]
+
+
+@measure("gravity", "statistical", needs_y=True)
+def _gravity(b: ConvBatch) -> float:
+    """Distance between majority and minority class centroids
+    (statistical.py:305-407); deterministic tie-break by class label."""
+    classes, cnt = b.classes()
+    if classes.size < 2:
+        return float("nan")
+    maj = classes[np.lexsort((classes, -cnt))][0]
+    rest = classes != maj
+    mino = classes[rest][np.lexsort((classes[rest], cnt[rest]))][0]
+    ca = b.N[b.y == maj].mean(axis=0)
+    cb = b.N[b.y == mino].mean(axis=0)
+    return float(np.linalg.norm(ca - cb))
+
+
+@measure("nr_norm", "statistical")
+def _nr_norm(b: ConvBatch) -> float:
+    """#columns passing a normality test at alpha=0.05 over the first
+    5000 rows (statistical.py:918-1065; row cap 970-976). D'Agostino K²
+    (closed-form chi2(2) survival exp(-K²/2)) replaces Shapiro-Wilk —
+    scipy is unavailable in-kernel."""
+    cnt = 0
+    for v in b.N.T:
+        v = v[:5000]
+        n = v.size
+        if n < 20:
+            continue
+        # D'Agostino-Pearson K^2 (public formulas)
+        g1 = _population_moment_ratio(v, 3)
+        g2 = _population_moment_ratio(v, 4) - 3.0
+        # skewness z (D'Agostino 1970)
+        Y = g1 * np.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+        beta2 = (
+            3.0
+            * (n**2 + 27 * n - 70)
+            * (n + 1)
+            * (n + 3)
+            / ((n - 2.0) * (n + 5) * (n + 7) * (n + 9))
+        )
+        W2 = -1 + np.sqrt(2 * (beta2 - 1))
+        delta = 1 / np.sqrt(0.5 * np.log(W2))
+        alpha = np.sqrt(2.0 / (W2 - 1))
+        Y = np.where(Y == 0, 1e-12, Y)
+        Zs = delta * np.log(Y / alpha + np.sqrt((Y / alpha) ** 2 + 1))
+        # kurtosis z (Anscombe & Glynn 1983)
+        E = 3.0 * (n - 1) / (n + 1)
+        varb2 = (
+            24.0 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+        )
+        x = (g2 + 3.0 - E) * 1.0  # b2 - E  (b2 = g2 + 3)
+        x = x / np.sqrt(varb2)
+        sqrtbeta1 = (
+            6.0
+            * (n * n - 5 * n + 2)
+            / ((n + 7) * (n + 9))
+            * np.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+        )
+        A = 6.0 + 8.0 / sqrtbeta1 * (
+            2.0 / sqrtbeta1 + np.sqrt(1 + 4.0 / sqrtbeta1**2)
+        )
+        term = (1 - 2.0 / A) / (1 + x * np.sqrt(2.0 / (A - 4.0)))
+        if term <= 0:
+            continue
+        Zk = (
+            (1 - 2.0 / (9.0 * A)) - term ** (1.0 / 3.0)
+        ) / np.sqrt(2.0 / (9.0 * A))
+        k2 = float(Zs**2 + Zk**2)
+        pval = float(np.exp(-k2 / 2.0))  # chi2(2) survival
+        if pval > 0.05:
+            cnt += 1
+    return float(cnt)
+
+
+def _population_moment_ratio(v: np.ndarray, k: int) -> float:
+    m = v.mean()
+    m2 = ((v - m) ** 2).mean()
+    if m2 == 0:
+        return 0.0
+    return float(((v - m) ** k).mean() / m2 ** (k / 2.0))
+
+
+@measure("can_cor", "statistical", needs_y=True)
+def _can_cor(b: ConvBatch) -> np.ndarray:
+    return b.can_cors()  # statistical.py:265-302
+
+
+@measure("nr_disc", "statistical", needs_y=True)
+def _nr_disc(b: ConvBatch) -> float:
+    return float(b.can_cors().size)  # statistical.py:501-544
+
+
+@measure("w_lambda", "statistical", needs_y=True)
+def _w_lambda(b: ConvBatch) -> float:
+    """Wilks' Lambda via exp(-sum(log1p(eig))) — the reference's
+    numerically-stable rewrite (statistical.py:1537-1538)."""
+    ev = b.can_cor_eigvals()
+    return float(np.exp(-np.sum(np.log1p(ev)))) if ev.size else float("nan")
+
+
+@measure("p_trace", "statistical", needs_y=True)
+def _p_trace(b: ConvBatch) -> float:
+    rho = b.can_cors()
+    return float(np.sum(rho**2)) if rho.size else float("nan")  # 1541-1582
+
+
+@measure("lh_trace", "statistical", needs_y=True)
+def _lh_trace(b: ConvBatch) -> float:
+    ev = b.can_cor_eigvals()
+    return float(np.sum(ev)) if ev.size else float("nan")  # 1585-1658
+
+
+@measure("roy_root", "statistical", needs_y=True)
+def _roy_root(b: ConvBatch) -> float:
+    ev = b.can_cor_eigvals()
+    return float(np.max(ev)) if ev.size else float("nan")  # 1661-1774
+
+
+@measure("sd_ratio", "statistical", needs_y=True)
+def _sd_ratio(b: ConvBatch) -> float:
+    """Box's M homogeneity-of-covariances statistic
+    (statistical.py:1162-1307): exp(M / (p * (n - k)))."""
+    classes, cnt = b.classes()
+    k = classes.size
+    n, p = b.N.shape
+    if k < 2 or np.any(cnt < 2):
+        return float("nan")
+    covs = [np.cov(b.N[b.y == c], rowvar=False, ddof=1) for c in classes]
+    w = cnt - 1.0
+    pooled = sum(wi * Si for wi, Si in zip(w, covs)) / (n - k)
+    gamma = 1.0 - (
+        (2.0 * p**2 + 3.0 * p - 1.0) / (6.0 * (p + 1.0) * (k - 1.0))
+    ) * (np.sum(1.0 / w) - 1.0 / (n - k))
+    sign_p, logdet_p = np.linalg.slogdet(pooled)
+    logdets = []
+    for Si in covs:
+        sign, ld = np.linalg.slogdet(np.atleast_2d(Si))
+        if sign <= 0:
+            return float("nan")
+        logdets.append(ld)
+    if sign_p <= 0:
+        return float("nan")
+    m_factor = gamma * ((n - k) * logdet_p - np.dot(w, logdets))
+    return float(np.exp(m_factor / (p * (n - k))))
+
+
+# ---- info-theory (/root/reference/pymfe/info_theory.py) --------------
+
+measure("class_ent", "info-theory", needs_y=True)(
+    lambda b: _col_ent(b.y)
+)  # 344-389
+
+
+@measure("attr_ent", "info-theory")
+def _attr_ent(b: ConvBatch) -> np.ndarray:
+    """Shannon entropy per categorical column (info_theory.py:277-313)."""
+    return np.array([_col_ent(b.C[:, j]) for j in range(b.C.shape[1])])
+
+
+@measure("joint_ent", "info-theory", needs_y=True)
+def _joint_ent_m(b: ConvBatch) -> np.ndarray:
+    """Joint entropy of each column with y (info_theory.py:457-508)."""
+    return np.array([_joint_ent(b.C[:, j], b.y) for j in range(b.C.shape[1])])
+
+
+@measure("mut_inf", "info-theory", needs_y=True)
+def _mut_inf(b: ConvBatch) -> np.ndarray:
+    """H(x) + H(y) - H(x,y) (info_theory.py:511-588)."""
+    hy = _col_ent(b.y)
+    return np.array(
+        [
+            _col_ent(b.C[:, j]) + hy - _joint_ent(b.C[:, j], b.y)
+            for j in range(b.C.shape[1])
+        ]
+    )
+
+
+@measure("attr_conc", "info-theory")
+def _attr_conc(b: ConvBatch) -> np.ndarray:
+    """Goodman-Kruskal tau for every ORDERED column pair, max 12 columns
+    sampled (info_theory.py:198-274; cap at 219-263)."""
+    d = b.C.shape[1]
+    cols = np.arange(d)
+    if d > 12:
+        rng = np.random.RandomState(1234)
+        cols = np.sort(rng.choice(d, 12, replace=False))
+    out = []
+    for i in cols:
+        for j in cols:
+            if i != j:
+                out.append(_conc(b.C[:, i], b.C[:, j]))
+    return np.array(out) if out else np.array([np.nan])
+
+
+@measure("class_conc", "info-theory", needs_y=True)
+def _class_conc(b: ConvBatch) -> np.ndarray:
+    """tau(col -> y) per column (info_theory.py:316-341)."""
+    return np.array([_conc(b.C[:, j], b.y) for j in range(b.C.shape[1])])
+
+
+@measure("eq_num_attr", "info-theory", needs_y=True)
+def _eq_num_attr(b: ConvBatch) -> float:
+    """d * H(y) / sum(MI) (info_theory.py:392-454)."""
+    mi = _mut_inf(b)
+    s = mi.sum()
+    return float(b.C.shape[1] * _col_ent(b.y) / s) if s else float("nan")
+
+
+@measure("ns_ratio", "info-theory", needs_y=True)
+def _ns_ratio(b: ConvBatch) -> float:
+    """(sum H(x) - sum MI) / sum MI (info_theory.py:591-650)."""
+    mi = _mut_inf(b).sum()
+    hx = _attr_ent(b).sum()
+    return float((hx - mi) / mi) if mi else float("nan")
+
+
+# ---- clustering (/root/reference/pymfe/clustering.py) ----------------
+
+
+def _intercls_blocks(b: ConvBatch) -> list[np.ndarray]:
+    """Per class pair: cdist block normalized by its size
+    (clustering.py:356-400)."""
+    D = b.dist_mat()
+    inds = b.cls_inds()
+    blocks = []
+    for i in range(inds.shape[0]):
+        for j in range(i + 1, inds.shape[0]):
+            blk = D[np.ix_(inds[i], inds[j])]
+            blocks.append(blk / blk.size)
+    return blocks
+
+
+@measure("vdu", "clustering", needs_y=True)
+def _vdu(b: ConvBatch) -> float:
+    """Dunn index: min normalized inter-class dist / max intra-class
+    diameter (clustering.py:542-624)."""
+    blocks = _intercls_blocks(b)
+    if not blocks:
+        return float("nan")
+    min_inter = min(float(blk.min()) for blk in blocks)
+    D = b.dist_mat()
+    inds = b.cls_inds()
+    intr = [
+        float(D[np.ix_(m, m)].max()) for m in inds if m.sum() > 1
+    ]
+    mx = max(intr) if intr else 0.0
+    return float(min_inter / mx) if mx else float("nan")
+
+
+@measure("int", "clustering", needs_y=True)
+def _int_index(b: ConvBatch) -> float:
+    """INT index (clustering.py:651-734): sum of normalized inter-class
+    dists * 2/(q(q-1))."""
+    classes, _ = b.classes()
+    q = classes.size
+    if q < 2:
+        return float("nan")
+    total = sum(float(blk.sum()) for blk in _intercls_blocks(b))
+    return total * 2.0 / (q * (q - 1.0))
+
+
+@measure("vdb", "clustering", needs_y=True)
+def _vdb(b: ConvBatch) -> float:
+    """Davies-Bouldin (sklearn.metrics.davies_bouldin_score semantics,
+    clustering.py:627-648): s_i = mean dist to centroid."""
+    classes, _ = b.classes()
+    if classes.size < 2:
+        return float("nan")
+    cents, s = [], []
+    for c in classes:
+        pts = b.N[b.y == c]
+        cen = pts.mean(axis=0)
+        cents.append(cen)
+        s.append(float(np.linalg.norm(pts - cen, axis=1).mean()))
+    cents = np.array(cents)
+    M = _cdist(cents, cents)
+    k = classes.size
+    R = np.zeros(k)
+    for i in range(k):
+        vals = [
+            (s[i] + s[j]) / M[i, j] if M[i, j] > 0 else 0.0
+            for j in range(k)
+            if j != i
+        ]
+        R[i] = max(vals)
+    return float(R.mean())
+
+
+@measure("ch", "clustering", needs_y=True)
+def _ch(b: ConvBatch) -> float:
+    """Calinski-Harabasz (clustering.py:851-875)."""
+    classes, cnt = b.classes()
+    k, n = classes.size, b.N.shape[0]
+    if k < 2 or n <= k:
+        return float("nan")
+    mu = b.N.mean(axis=0)
+    ssb = ssw = 0.0
+    for c, ni in zip(classes, cnt):
+        pts = b.N[b.y == c]
+        ci = pts.mean(axis=0)
+        ssb += ni * float(((ci - mu) ** 2).sum())
+        ssw += float(((pts - ci) ** 2).sum())
+    return float((ssb / (k - 1)) / (ssw / (n - k))) if ssw else float("nan")
+
+
+@measure("sil", "clustering", needs_y=True)
+def _sil(b: ConvBatch) -> float:
+    """Mean silhouette (sklearn semantics, clustering.py:737-797):
+    singleton clusters score 0."""
+    D = b.dist_mat()
+    classes, cnt = b.classes()
+    if classes.size < 2:
+        return float("nan")
+    inds = b.cls_inds()
+    n = b.N.shape[0]
+    s = np.zeros(n)
+    for idx in range(n):
+        own = b.y[idx]
+        own_mask = inds[list(classes).index(own)]
+        n_own = own_mask.sum()
+        if n_own <= 1:
+            s[idx] = 0.0
+            continue
+        a = D[idx, own_mask].sum() / (n_own - 1)
+        bvals = [
+            D[idx, m].mean() for m, c in zip(inds, classes) if c != own
+        ]
+        bmin = min(bvals)
+        s[idx] = (bmin - a) / max(a, bmin) if max(a, bmin) > 0 else 0.0
+    return float(s.mean())
+
+
+@measure("pb", "clustering", needs_y=True)
+def _pb(b: ConvBatch) -> float:
+    """Point-biserial corr between pairwise distances and same-class
+    indicator (clustering.py:800-848) — Pearson corr with the binary
+    x = classes match."""
+    D = b.dist_mat()
+    iu = np.triu_indices_from(D, k=1)
+    dists = D[iu]
+    same = (b.y[iu[0]] == b.y[iu[1]]).astype(float)
+    if same.std() == 0 or dists.std() == 0:
+        return float("nan")
+    return float(np.corrcoef(same, dists)[0, 1])
+
+
+@measure("nre", "clustering", needs_y=True)
+def _nre(b: ConvBatch) -> float:
+    """Entropy (natural log) of class proportions (clustering.py:878-912)."""
+    _, cnt = b.classes()
+    return _entropy(cnt)
+
+
+@measure("sc", "clustering", needs_y=True)
+def _sc(b: ConvBatch) -> float:
+    """#classes with < 15 instances (clustering.py:915-962)."""
+    _, cnt = b.classes()
+    return float((cnt < 15).sum())
+
+
+# ---- concept (/root/reference/pymfe/concept.py) ----------------------
+
+
+def _concept_weights(b: ConvBatch, alpha: float) -> np.ndarray:
+    """weights 2^(-alpha * d / (sqrt(d_cols) - d)) with the reference's
+    concept_minimum guard (concept.py:100-172)."""
+    D = b.concept_dist_mat()
+    div = np.sqrt(b.N.shape[1]) - D
+    div[div <= 0] = 10e-10
+    w = np.power(2.0, -alpha * (D / div))
+    np.fill_diagonal(w, 0.0)
+    return w
+
+
+def _radius_weights(b: ConvBatch, alpha: float) -> np.ndarray:
+    """Integer-radius weights 2^(-alpha*ceil(d)), radius 0 -> 1
+    (concept.py:240-303)."""
+    radius = np.ceil(b.concept_dist_mat()).astype(int)
+    radius[radius == 0] = 1
+    w = np.power(2.0, -alpha * radius)
+    np.fill_diagonal(w, 0.0)
+    return w
+
+
+@measure("conceptvar", "concept", needs_y=True)
+def _conceptvar(b: ConvBatch) -> np.ndarray:
+    """Per-example weighted class disagreement (concept.py:100-172)."""
+    w = _concept_weights(b, alpha=2.0)
+    diff = (b.y[:, None] != b.y[None, :]).astype(float)
+    with np.errstate(invalid="ignore"):
+        return (w * diff).sum(axis=0) / w.sum(axis=0)
+
+
+@measure("wg_dist", "concept")
+def _wg_dist(b: ConvBatch) -> np.ndarray:
+    """Per-example weighted mean distance (concept.py:175-237)."""
+    w = _concept_weights(b, alpha=2.0)
+    D = b.concept_dist_mat()
+    with np.errstate(invalid="ignore"):
+        return (w * D).sum(axis=0) / w.sum(axis=0)
+
+
+@measure("impconceptvar", "concept", needs_y=True)
+def _impconceptvar(b: ConvBatch) -> np.ndarray:
+    """Improved concept variation (concept.py:240-303)."""
+    w = _radius_weights(b, alpha=1.0)
+    diff = (b.y[:, None] != b.y[None, :]).astype(float)
+    return (w * diff).sum(axis=0)
+
+
+@measure("cohesiveness", "concept")
+def _cohesiveness(b: ConvBatch) -> np.ndarray:
+    """Sum of radius weights per example (concept.py:306-359)."""
+    return _radius_weights(b, alpha=1.0).sum(axis=0)
+
+
+# ---- itemset (/root/reference/pymfe/itemset.py) ----------------------
+
+
+def _binarize(C: np.ndarray) -> list[np.ndarray]:
+    """One boolean column per (column, value) pair (itemset.py:84-96)."""
+    cols = []
+    for j in range(C.shape[1]):
+        for v in np.unique(C[:, j]):
+            cols.append(C[:, j] == v)
+    return cols
+
+
+@measure("one_itemset", "itemset")
+def _one_itemset(b: ConvBatch) -> np.ndarray:
+    """Per attribute-value support (itemset.py:151-190)."""
+    n = b.C.shape[0]
+    return np.array([m.sum() / n for m in _binarize(b.C)])
+
+
+@measure("two_itemset", "itemset")
+def _two_itemset(b: ConvBatch) -> np.ndarray:
+    """XOR support for value pairs across DIFFERENT original columns
+    (itemset.py:99-148)."""
+    n = b.C.shape[0]
+    per_col = []
+    for j in range(b.C.shape[1]):
+        per_col.append([b.C[:, j] == v for v in np.unique(b.C[:, j])])
+    out = []
+    for j1 in range(len(per_col)):
+        for j2 in range(j1 + 1, len(per_col)):
+            for m1 in per_col[j1]:
+                for m2 in per_col[j2]:
+                    out.append(float(np.logical_xor(m1, m2).sum()) / n)
+    return np.array(out) if out else np.array([np.nan])
+
+
+GROUPS: dict[str, list[str]] = {}
+for _m in MEASURES.values():
+    GROUPS.setdefault(_m.group, []).append(_m.name)
+DEFAULT_GROUPS = ("general", "statistical", "info-theory")
+ALL_GROUPS = tuple(GROUPS)
