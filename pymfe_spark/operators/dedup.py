@@ -1,0 +1,238 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four strategies, scale-ordered:
+
+- **exact**: hash-groupBy on normalized text — one shuffle, the 100 TB
+  workhorse.
+- **n-gram Jaccard**: word 4-gram shingles -> shingle-key self-join ->
+  per-pair intersection counts -> Jaccard. The shingle join only
+  materializes pairs sharing >= 1 shingle (candidate generation, never
+  the full O(n²) cross join).
+- **MinHash + LSH**: k=16 permutations of crc32 shingle hashes, banded
+  1-row/8-band bucketing -> candidate pairs by bucket collision. The
+  sub-linear path when even the shingle join is too hot.
+- **SimHash**: 32-bit sign-aggregated token hashes + byte bands for
+  hamming-bucket lookups.
+
+MinHash/SimHash use crc32 (JVM-side, no Python) and deterministic
+affine permutations, so outputs are stable across runs/partitionings;
+they have no DuckDB twin (no crc32) -> rows-only checks + unit tests
+against the exact Jaccard truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymfe_spark.functions.sql_exprs import r
+from pymfe_spark.plans.catalog import register
+
+GROUP = "dedup"
+
+_P = 2147483647  # Mersenne prime for affine minhash permutations
+_RNG = np.random.RandomState(99)
+MINHASH_K = 16
+MH_A = [int(a) for a in _RNG.randint(1, _P, MINHASH_K)]
+MH_B = [int(b) for b in _RNG.randint(0, _P, MINHASH_K)]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _shingles_from_tokens(w: Column, n: int = 4) -> Column:
+    """Distinct word n-gram shingles from a pre-tokenized array column;
+    empty array when < n words.
+
+    Takes a *column reference* (not the tokenizing expression): Catalyst
+    does not CSE subexpressions inside lambda bodies, so tokenizing
+    inline would re-run split+filter per gram element — O(words²) work
+    per document.
+    """
+    k = F.size(w) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.array_join(F.slice(w, i, n), "_"),
+    )
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingles — tokens materialized
+    once per doc, grams by array slice."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("w"),
+    )
+    return toks.select(
+        "doc_id", F.explode(_shingles_from_tokens(F.col("w"))).alias("s")
+    )
+
+
+# ---------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY lower(trim(text))) AS canonical_id,
+       count(*)    OVER (PARTITION BY lower(trim(text))) AS cluster_size
+FROM documents
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE, group=GROUP)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: every doc mapped to its cluster's
+    canonical (min) doc_id + cluster size. Single hash window on the
+    normalization key; at scale, replace the window with
+    groupBy(norm).agg(min, count) + broadcast-back join."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.trim(F.col("text")))
+    w = Window.partitionBy(norm)
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] || '_' || w[i.i+3] AS s
+  FROM toks, unnest(range(1, greatest(len(w) - 2, 1))) AS i(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT sh.doc_a, sh.doc_b,
+       round(sh.inter * 1.0 / (sa.n + sb.n - sh.inter), 6) AS jaccard
+FROM shared sh
+JOIN sizes sa ON sh.doc_a = sa.doc_id
+JOIN sizes sb ON sh.doc_b = sb.doc_id
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, group=GROUP)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-4-gram Jaccard similarity for every candidate pair (docs
+    sharing >= 1 shingle). Candidate generation via shingle-key
+    equi-join — shuffle on the shingle, never a cross join; hot
+    shingles would be dropped by a frequency cap at 100 TB (df > 0.1%
+    carries no dedup signal)."""
+    sh = shingle_table(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            r(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None, group=GROUP)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16 affine permutations of crc32 shingle
+    hashes) + 1-row banding: candidate pair when any band collides.
+    Output: (doc_a, doc_b, n_bands_matched, est_jaccard). est_jaccard =
+    matched bands / k is the unbiased MinHash estimate; unit tests
+    check it tracks exact Jaccard."""
+    sh = shingle_table(spark, sf_dir)
+    h = F.crc32(F.col("s").cast("binary"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(MH_A[k]) * h + F.lit(MH_B[k]), F.lit(_P))).alias(
+                f"mh{k}"
+            )
+            for k in range(MINHASH_K)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band"), F.col(f"mh{k}").alias("v"))
+                    for k in range(MINHASH_K)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_bands_matched",
+        r(F.col("n_bands_matched") / F.lit(float(MINHASH_K))).alias("est_jaccard"),
+    )
+
+
+@register("dedup_simhash", oracle=None, group=GROUP)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over distinct tokens (sign-aggregated crc32 bits)
+    + 4 byte-bands for hamming-neighbor bucketing."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).alias("t"),
+    )
+    h = F.crc32(F.col("t").cast("binary"))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(32)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        for j in range(32)
+    )
+    out = bit_sums.select("doc_id", simhash.cast("long").alias("simhash"))
+    return out.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 8 * k)
+            .bitwiseAND(F.lit(255))
+            .cast("int")
+            .alias(f"band{k}")
+            for k in range(4)
+        ],
+    )

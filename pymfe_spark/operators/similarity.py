@@ -1,0 +1,221 @@
+"""Similarity search over the ``embeddings`` table (array<float> x 64).
+
+- **brute-force cosine top-k**: the correctness baseline. Query side is
+  broadcast; dot products are JVM-side ``zip_with``/``aggregate`` over
+  double-cast arrays (no UDF). Linear scan per query — right answer,
+  O(Q x N).
+- **LSH-bucketed (random hyperplanes)**: the scale path. 8 fixed
+  hyperplanes -> 256 sign buckets; neighbor search only within the
+  bucket. Planes are literal constants (seed 7), so both engines and
+  every run agree bit-for-bit on bucket assignment.
+- **label centroids**: per-label centroid norms via posexplode +
+  (label, dim) aggregation — the IVF coarse-quantizer building block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pymfe_spark.functions.sql_exprs import r
+from pymfe_spark.plans.catalog import register
+
+GROUP = "similarity"
+
+N_QUERIES = 10
+TOP_K = 5
+
+_DIM = 64
+_N_PLANES = 8
+_PLANES = np.round(np.random.RandomState(7).randn(_N_PLANES, _DIM), 6)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+ sims AS (
+   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          list_cosine_similarity(q.v, e.v) AS cos
+   FROM q JOIN e ON q.vec_id <> e.vec_id
+), ranked AS (
+   SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id ASC) AS rk
+   FROM sims)
+SELECT query_id, neighbor_id, cast(rk AS int) AS rk, round(cos, 4) AS cos
+FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+@register("sim_topk_bruteforce", oracle=_TOPK_ORACLE, group=GROUP)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 10 vectors.
+
+    The query side is broadcast (Q << N always); the base table streams
+    through once — no shuffle until the per-query top-k window over Q x N
+    rows (rank-filter). Oracle: DuckDB list_cosine_similarity."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    j = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    sims = j.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    )
+    return (
+        sims.withColumn("rk", rk)
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.col("rk").cast("int"), r(F.col("cos"), 4).alias("cos"))
+    )
+
+
+def _planes_sql() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in _PLANES
+    )
+    return f"[{rows}]"
+
+
+_BUCKET_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ planes AS (SELECT {_planes_sql()} AS ps),
+ bucketed AS (
+   SELECT vec_id,
+          list_aggregate(
+            list_transform(range(1, {_N_PLANES + 1}),
+              j -> CASE WHEN list_inner_product(e.v, ps[j]) > 0
+                        THEN cast(pow(2, j - 1) AS bigint) ELSE 0 END),
+            'sum') AS bucket
+   FROM e, planes)
+SELECT vec_id, cast(bucket AS int) AS bucket,
+       cast(count(*) OVER (PARTITION BY bucket) AS bigint) AS bucket_size
+FROM bucketed
+"""
+
+
+@register("sim_lsh_buckets", oracle=_BUCKET_ORACLE, group=GROUP)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (8 planes -> 256
+    buckets). At scale, ANN = shuffle by bucket + within-bucket
+    brute-force; bucket sizes here evidence the partition balance."""
+    e = _emb(spark, sf_dir)
+    plane_cols = [
+        F.array(*[F.lit(float(x)) for x in p]) for p in _PLANES
+    ]
+    bucket = sum(
+        F.when(_dot(F.col("v"), plane_cols[j]) > 0, F.lit(2**j)).otherwise(F.lit(0))
+        for j in range(_N_PLANES)
+    )
+    b = e.select("vec_id", bucket.cast("int").alias("bucket"))
+    return b.select(
+        "vec_id",
+        "bucket",
+        F.count("*").over(Window.partitionBy("bucket")).alias("bucket_size"),
+    )
+
+
+@register("sim_lsh_topk", oracle=None, group=GROUP)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors within each query's LSH bucket —
+    the composed ANN path (bucket equi-join instead of cross join).
+    Rows-only check; recall vs brute force is asserted in unit tests."""
+    e = _emb(spark, sf_dir)
+    plane_cols = [F.array(*[F.lit(float(x)) for x in p]) for p in _PLANES]
+    bucket = sum(
+        F.when(_dot(F.col("v"), plane_cols[j]) > 0, F.lit(2**j)).otherwise(F.lit(0))
+    for j in range(_N_PLANES))
+    b = e.select("vec_id", "v", bucket.cast("int").alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket"),
+    )
+    j = b.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    sims = j.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    )
+    return (
+        sims.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", F.col("rk").cast("int"), r(F.col("cos"), 4).alias("cos"))
+    )
+
+
+_CENTROID_ORACLE = """
+SELECT label,
+       cast(count(DISTINCT vec_id) AS bigint) AS n_vecs,
+       round(sqrt(sum(c * c)), 6)             AS centroid_norm
+FROM (SELECT label, vec_id, i, avg(e) OVER () AS _x, e
+      FROM (SELECT label, vec_id,
+                   unnest(embedding::DOUBLE[]) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)) raw
+JOIN (SELECT label AS l2, i AS i2, avg(e) AS c
+      FROM (SELECT label, vec_id,
+                   unnest(embedding::DOUBLE[]) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+      GROUP BY label, i) cent
+  ON raw.label = cent.l2 AND raw.i = cent.i2
+GROUP BY label
+"""
+
+# simpler, equivalent oracle (per-label per-dim mean, then norm)
+_CENTROID_ORACLE = """
+SELECT label,
+       cast(max(n_vecs) AS bigint)  AS n_vecs,
+       round(sqrt(sum(c * c)), 6)   AS centroid_norm
+FROM (SELECT label, i, avg(e) AS c, count(DISTINCT vec_id) AS n_vecs
+      FROM (SELECT label, vec_id,
+                   unnest(embedding::DOUBLE[]) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+      GROUP BY label, i)
+GROUP BY label
+"""
+
+
+@register("embedding_label_centroids", oracle=_CENTROID_ORACLE, group=GROUP)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm (IVF coarse quantizer building block):
+    posexplode -> (label, dim) partial aggregation -> norm. The
+    (label, dim) key keeps the shuffle narrow (k x 64 rows) however
+    large the input."""
+    e = _emb(spark, sf_dir)
+    exploded = e.select("label", "vec_id", F.posexplode("v").alias("i", "x"))
+    cent = exploded.groupBy("label", "i").agg(
+        F.avg("x").alias("c"), F.count_distinct("vec_id").alias("n_vecs")
+    )
+    return cent.groupBy("label").agg(
+        F.max("n_vecs").alias("n_vecs"),
+        r(F.sqrt(F.sum(F.col("c") * F.col("c")))).alias("centroid_norm"),
+    )

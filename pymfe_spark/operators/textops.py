@@ -1,0 +1,211 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline tier (language-ID, quality scoring, token
+counting, document fingerprinting).
+
+All JVM-side array/string expressions (split/filter/transform/
+aggregate) — no UDFs; each query is scan -> project -> (optional agg),
+fully whole-stage-codegen and trivially scalable (embarrassingly
+parallel per document; no shuffle except final aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymfe_spark.functions.sql_exprs import r
+from pymfe_spark.plans.catalog import register
+
+GROUP = "textops"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# polynomial-fingerprint weights: 31^k mod 2^31-1, k = 0..7 (precomputed
+# so Spark and DuckDB evaluate identical integer arithmetic)
+_P = 2147483647
+FP_WEIGHTS = [pow(31, k, _P) for k in range(8)]
+_FPW_SQL = "[" + ", ".join(str(w) for w in FP_WEIGHTS) + "]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+_TOKEN_ORACLE = """
+SELECT doc_id,
+       length(text)                                   AS n_chars,
+       cast(len(toks) AS bigint)                      AS n_words,
+       cast(len(list_distinct(toks)) AS bigint)       AS n_distinct_words,
+       round(length(replace(text, ' ', '')) * 1.0 / len(toks), 6)
+                                                      AS avg_word_len,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr
+FROM (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents)
+"""
+
+
+@register("text_token_stats", oracle=_TOKEN_ORACLE, group=GROUP)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: chars, whitespace tokens, distinct tokens, mean
+    token length, type-token ratio."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    n_words = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_words"),
+        r(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_words).alias(
+            "avg_word_len"
+        ),
+        r(F.size(F.array_distinct(toks)) / n_words).alias("ttr"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       round(stop_ratio, 6)  AS stop_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(0.5 * ttr + 0.3 * (1.0 - punct_ratio)
+             + 0.2 * least(stop_ratio * 10.0, 1.0), 6) AS quality_score
+FROM (SELECT doc_id,
+             len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0 / len(toks)
+               AS stop_ratio,
+             length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
+               / length(text) AS punct_ratio,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+               / length(text) AS digit_ratio,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
+      FROM (SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents))
+"""
+
+
+@register("text_quality", oracle=_QUALITY_ORACLE, group=GROUP)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword / punctuation / digit ratios + a
+    composite score (length-normalized heuristics)."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n
+    punct_ratio = F.length(
+        F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")
+    ) / F.length("text")
+    digit_ratio = F.length(
+        F.regexp_replace(F.col("text"), "[^0-9]", "")
+    ) / F.length("text")
+    ttr = F.size(F.array_distinct(toks)) / n
+    score = (
+        0.5 * ttr
+        + 0.3 * (F.lit(1.0) - punct_ratio)
+        + 0.2 * F.least(stop_ratio * 10.0, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        r(stop_ratio).alias("stop_ratio"),
+        r(punct_ratio).alias("punct_ratio"),
+        r(digit_ratio).alias("digit_ratio"),
+        r(score).alias("quality_score"),
+    )
+
+
+_LANGID_ORACLE = f"""
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0
+                 / len(toks) >= 0.02
+            THEN 'en' ELSE 'unk' END AS guessed_lang,
+       (lang = CASE WHEN len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0
+                         / len(toks) >= 0.02
+                    THEN 'en' ELSE 'unk' END) AS agree
+FROM (SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents)
+"""
+
+
+@register("text_langid", oracle=_LANGID_ORACLE, group=GROUP)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram/stopword language ID: english-stopword hit rate
+    >= 2% -> 'en'. (The synthetic corpus shares one vocabulary across
+    lang labels, so accuracy is reported, not asserted.)"""
+    d = _docs(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / F.size(toks)
+    guessed = F.when(stop_ratio >= 0.02, F.lit("en")).otherwise(F.lit("unk"))
+    return d.select(
+        "doc_id",
+        "lang",
+        guessed.alias("guessed_lang"),
+        (F.col("lang") == guessed).alias("agree"),
+    )
+
+
+_FP_ORACLE = f"""
+SELECT doc_id,
+       list_aggregate(
+         list_transform(range(1, length(text) + 1),
+                        i -> ascii(text[i])::BIGINT * ({_FPW_SQL})[((i - 1) % 8) + 1]),
+         'sum') % {_P} AS fingerprint
+FROM documents
+"""
+
+
+@register("text_fingerprint", oracle=_FP_ORACLE, group=GROUP)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware document fingerprint: positional polynomial hash
+    sum(ascii(c_i) * 31^(i mod 8)) mod 2^31-1 — pure integer arithmetic,
+    bit-identical across engines (rolling-hash analogue without a fold)."""
+    d = _docs(spark, sf_dir)
+    w_arr = F.array(*[F.lit(w) for w in FP_WEIGHTS])
+    terms = F.transform(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda i: F.ascii(F.substring(F.col("text"), i, F.lit(1))).cast("long")
+        * F.element_at(w_arr, (F.pmod(i - 1, F.lit(8)) + 1).cast("int")),
+    )
+    fp = F.pmod(
+        F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x),
+        F.lit(_P),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+_BYSOURCE_ORACLE = """
+SELECT source,
+       count(*)                                AS n_docs,
+       round(avg(n_chars), 6)                  AS avg_chars,
+       cast(count(DISTINCT lang) AS bigint)    AS n_langs,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+FROM documents GROUP BY source
+"""
+
+
+@register("docs_by_source", oracle=_BYSOURCE_ORACLE, group=GROUP)
+def docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (hash agg + global-window share)."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        r(F.avg("n_chars")).alias("avg_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "avg_chars",
+        "n_langs",
+        r(F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy())).alias(
+            "share"
+        ),
+    )

@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "pymfe_spark.operators.dedup",
     "pymfe_spark.operators.similarity",
     "pymfe_spark.operators.multimodal",
+    "pymfe_spark.operators.skew",
     "pymfe_spark.plans.extractor_queries",
     "pymfe_spark.plans.flagship",
 )

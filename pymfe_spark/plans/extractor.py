@@ -58,9 +58,10 @@ def _equal_freq_bins(v: np.ndarray) -> np.ndarray:
     return np.digitize(v, cuts)
 
 
-def build_batch(pdf: pd.DataFrame) -> ConvBatch:
+def build_batch(pdf: pd.DataFrame, assume_sorted: bool = False) -> ConvBatch:
     """Assemble N / C / y views from one conversation's turns."""
-    pdf = pdf.sort_values("turn_idx")
+    if not assume_sorted:
+        pdf = pdf.sort_values("turn_idx")
     text_len = pdf["text_len"].to_numpy(dtype=float)
     ts_delta = pdf["ts_delta_s"].fillna(0.0).to_numpy(dtype=float)
     turn_idx = pdf["turn_idx"].to_numpy(dtype=float)
@@ -77,10 +78,11 @@ def extract_batch(
     measure_names: Iterable[str],
     summaries: tuple[str, ...],
     max_kernel_turns: int,
+    assume_sorted: bool = False,
 ) -> pd.DataFrame:
     """Run the selected measures over one conversation batch."""
     conv_id = pdf["conv_id"].iloc[0]
-    batch = build_batch(pdf)
+    batch = build_batch(pdf, assume_sorted=assume_sorted)
     capped: ConvBatch | None = None
     rows: dict[str, float] = {}
     for name in measure_names:
@@ -106,6 +108,83 @@ def extract_batch(
             "mtf_name": names,
             "mtf_val": [rows[n] for n in names],
         }
+    )
+
+
+def _batch_from_arrays(
+    text_len: np.ndarray,
+    ts_delta: np.ndarray,
+    turn_idx: np.ndarray,
+    role: np.ndarray,
+    tool: np.ndarray,
+) -> ConvBatch:
+    N = np.column_stack([text_len, ts_delta, turn_idx])
+    len_bin = _equal_freq_bins(text_len).astype(object)
+    C = np.column_stack([role, tool, len_bin])
+    return ConvBatch(N=N, C=C, y=role)
+
+
+def _measure_rows(
+    batch: ConvBatch,
+    pdf_slice: tuple,
+    measure_names: tuple[str, ...],
+    summaries: tuple[str, ...],
+    cap: int,
+) -> dict[str, float]:
+    """All (name -> value) rows for one conversation batch."""
+    capped: ConvBatch | None = None
+    rows: dict[str, float] = {}
+    for name in measure_names:
+        mdef = MEASURES[name]
+        b = batch
+        if mdef.group in HEAVY_GROUPS and batch.N.shape[0] > cap:
+            if capped is None:
+                capped = _batch_from_arrays(*(a[:cap] for a in pdf_slice))
+            b = capped
+        try:
+            with np.errstate(all="ignore"), warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                val = mdef.fn(b)
+        except Exception:
+            val = float("nan")
+        rows.update(summarize(name, val, summaries))
+    return rows
+
+
+def _extract_contiguous(
+    pdf: pd.DataFrame,
+    measure_names: tuple[str, ...],
+    summaries: tuple[str, ...],
+    cap: int,
+):
+    """Yield ONE result frame for a chunk of whole conversations,
+    contiguous and sorted by (conv_id, turn_idx). Column arrays are
+    extracted once per chunk and sliced per conversation — no pandas in
+    the per-conversation loop."""
+    conv = pdf["conv_id"].to_numpy()
+    text_len = pdf["text_len"].to_numpy(dtype=float)
+    ts_delta = pdf["ts_delta_s"].to_numpy(dtype=float)
+    ts_delta = np.nan_to_num(ts_delta, nan=0.0)
+    turn_idx = pdf["turn_idx"].to_numpy(dtype=float)
+    role = pdf["role"].to_numpy(dtype=object)
+    tool = pdf["tool"].to_numpy(dtype=object)
+    tool = np.where(pd.isna(tool), "NONE", tool)
+
+    bounds = np.flatnonzero(np.concatenate(([True], conv[1:] != conv[:-1])))
+    bounds = np.append(bounds, len(conv))
+    out_conv: list[str] = []
+    out_name: list[str] = []
+    out_val: list[float] = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        arrays = (text_len[s:e], ts_delta[s:e], turn_idx[s:e], role[s:e], tool[s:e])
+        batch = _batch_from_arrays(*arrays)
+        rows = _measure_rows(batch, arrays, measure_names, summaries, cap)
+        names = sorted(rows)
+        out_conv.extend([conv[s]] * len(names))
+        out_name.extend(names)
+        out_val.extend(rows[n] for n in names)
+    yield pd.DataFrame(
+        {"conv_id": out_conv, "mtf_name": out_name, "mtf_val": out_val}
     )
 
 
@@ -138,7 +217,60 @@ class MFESpark:
 
     def extract(self, turns_df: DataFrame) -> DataFrame:
         """turns_df needs columns: conv_id, turn_idx, role, tool,
-        text_len, ts_delta_s (see operators.base.turns)."""
+        text_len, ts_delta_s (see operators.base.turns).
+
+        Physical strategy: repartition by conv_id (explicit count — the
+        kernel cost is Python CPU per conversation, which AQE's
+        byte-based coalescing would serialize at small data sizes),
+        secondary-sort within partitions on (conv_id, turn_idx), then
+        ONE ``mapInPandas`` stream per core. The kernel slices
+        conversations out of each Arrow chunk and carries the trailing
+        partial conversation over to the next chunk — per-conversation
+        work without per-group Arrow/pandas machinery (~3x less
+        overhead than groupBy().applyInPandas at ~70-turn convs).
+        """
+        measure_names = self.measure_names
+        summaries = self.summaries
+        cap = self.max_kernel_turns
+
+        def kernel(batches: "Iterable[pd.DataFrame]"):
+            leftover: pd.DataFrame | None = None
+            for pdf in batches:
+                if leftover is not None:
+                    pdf = pd.concat([leftover, pdf], ignore_index=True)
+                    leftover = None
+                conv = pdf["conv_id"].to_numpy()
+                # hold back the last conversation — it may continue in
+                # the next Arrow chunk
+                cut = int(np.searchsorted(conv, conv[-1], side="left"))
+                if cut == 0:
+                    leftover = pdf
+                    continue
+                leftover = pdf.iloc[cut:].reset_index(drop=True)
+                done = pdf.iloc[:cut]
+                yield from _extract_contiguous(
+                    done, measure_names, summaries, cap
+                )
+            if leftover is not None and len(leftover):
+                yield from _extract_contiguous(
+                    leftover, measure_names, summaries, cap
+                )
+
+        cols = ["conv_id", "turn_idx", "role", "tool", "text_len", "ts_delta_s"]
+        spark = turns_df.sparkSession
+        n_part = spark.sparkContext.defaultParallelism
+        return (
+            turns_df.select(*cols)
+            .repartition(n_part, "conv_id")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .mapInPandas(kernel, schema=OUT_SCHEMA)
+        )
+
+    def extract_grouped(self, turns_df: DataFrame) -> DataFrame:
+        """Reference physical strategy: one applyInPandas group per
+        conversation. Same results as extract() (asserted in tests);
+        kept for A/B comparisons and as the skew-isolated path (a
+        mega-conversation gets its own task here)."""
         measure_names = self.measure_names
         summaries = self.summaries
         cap = self.max_kernel_turns
@@ -147,8 +279,11 @@ class MFESpark:
             return extract_batch(pdf, measure_names, summaries, cap)
 
         cols = ["conv_id", "turn_idx", "role", "tool", "text_len", "ts_delta_s"]
+        spark = turns_df.sparkSession
+        n_part = spark.sparkContext.defaultParallelism
         return (
             turns_df.select(*cols)
+            .repartition(n_part, "conv_id")
             .groupBy("conv_id")
             .applyInPandas(kernel, schema=OUT_SCHEMA)
         )

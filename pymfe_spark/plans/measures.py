@@ -545,8 +545,13 @@ measure("class_ent", "info-theory", needs_y=True)(
 
 @measure("attr_ent", "info-theory")
 def _attr_ent(b: ConvBatch) -> np.ndarray:
-    """Shannon entropy per categorical column (info_theory.py:277-313)."""
-    return np.array([_col_ent(b.C[:, j]) for j in range(b.C.shape[1])])
+    """Shannon entropy per categorical column (info_theory.py:277-313).
+    Cached: reused by ns_ratio (precompute-cache analogue)."""
+    if "attr_ent" not in b._cache:
+        b._cache["attr_ent"] = np.array(
+            [_col_ent(b.C[:, j]) for j in range(b.C.shape[1])]
+        )
+    return b._cache["attr_ent"]
 
 
 @measure("joint_ent", "info-theory", needs_y=True)
@@ -557,14 +562,17 @@ def _joint_ent_m(b: ConvBatch) -> np.ndarray:
 
 @measure("mut_inf", "info-theory", needs_y=True)
 def _mut_inf(b: ConvBatch) -> np.ndarray:
-    """H(x) + H(y) - H(x,y) (info_theory.py:511-588)."""
-    hy = _col_ent(b.y)
-    return np.array(
-        [
-            _col_ent(b.C[:, j]) + hy - _joint_ent(b.C[:, j], b.y)
-            for j in range(b.C.shape[1])
-        ]
-    )
+    """H(x) + H(y) - H(x,y) (info_theory.py:511-588). Cached: reused by
+    eq_num_attr and ns_ratio."""
+    if "mut_inf" not in b._cache:
+        hy = _col_ent(b.y)
+        b._cache["mut_inf"] = np.array(
+            [
+                _col_ent(b.C[:, j]) + hy - _joint_ent(b.C[:, j], b.y)
+                for j in range(b.C.shape[1])
+            ]
+        )
+    return b._cache["mut_inf"]
 
 
 @measure("attr_conc", "info-theory")

@@ -1,0 +1,49 @@
+"""Structured Streaming surface: sessionized per-conversation stats.
+
+The engine is batch-first (the north rule realizes no-late-leakage as
+the as-of predicate in batch backfill — SURVEY.md §1.2), but the
+session operator has a genuine streaming twin: ``session_window`` with
+a watermark. Semantics match the batch sessionizer
+(operators/temporal.py): a session closes when no turn arrives within
+the gap; late turns beyond the watermark are dropped rather than
+corrupting closed sessions.
+
+Used with ``Trigger.AvailableNow`` this doubles as incremental batch:
+each invocation processes only new files — the streaming flavor of the
+backfill's bucket resumability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def streaming_session_stats(
+    spark: SparkSession,
+    input_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """readStream over a transcript directory -> watermarked
+    session-window aggregation. Returns the streaming DataFrame; caller
+    attaches writeStream (tests use trigger(availableNow=True) +
+    memory sink)."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    return stream.groupBy(
+        F.col("conv_id"), F.session_window("ts", gap)
+    ).agg(
+        F.count("*").alias("n_turns"),
+        F.avg(F.length("text")).alias("mean_len"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

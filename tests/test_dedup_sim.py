@@ -1,0 +1,107 @@
+"""Quality checks for the approximate dedup/similarity operators:
+MinHash estimates must track exact Jaccard; LSH buckets must be
+internally consistent and recall real neighbors; SimHash must map
+near-identical docs to nearby hashes."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pymfe_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from pymfe_spark.operators.similarity import (
+    sim_lsh_buckets,
+    sim_lsh_topk,
+    sim_topk_bruteforce,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    """For pairs found by both paths, |est - exact| must be within the
+    k=16 MinHash standard error (~1/sqrt(16) = 0.25) on average."""
+    exact = dedup_ngram_jaccard(spark, SF_SMOKE).toPandas()
+    est = dedup_minhash_lsh(spark, SF_SMOKE).toPandas()
+    merged = exact.merge(est, on=["doc_a", "doc_b"], how="inner")
+    assert len(merged) > 0, "no overlapping candidate pairs"
+    err = np.abs(merged["jaccard"] - merged["est_jaccard"])
+    assert err.mean() < 0.25, f"minhash bias too large: {err.mean()}"
+    # every high-jaccard pair must be recalled by LSH (1-row bands,
+    # collision prob 1-(1-s)^16; s>=0.3 -> >99.6%)
+    hot = exact[exact["jaccard"] >= 0.3]
+    if len(hot):
+        found = hot.merge(est, on=["doc_a", "doc_b"], how="inner")
+        assert len(found) == len(hot)
+
+
+def test_minhash_detects_planted_duplicates(spark):
+    """Plant near-duplicate docs; MinHash must surface them with high
+    estimated jaccard."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (1000, base),
+        (1001, base + "extra tail words here"),
+        (1002, "completely different content " + "unrelated tokens " * 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet("/tmp/planted_docs/documents.parquet")
+    est = dedup_minhash_lsh(spark, "/tmp/planted_docs").toPandas()
+    pair = est[(est.doc_a == 1000) & (est.doc_b == 1001)]
+    assert len(pair) == 1, "planted near-dup not recalled"
+    assert pair.iloc[0]["est_jaccard"] >= 0.5
+    assert not ((est.doc_a == 1000) & (est.doc_b == 1002)).any() or (
+        est[(est.doc_a == 1000) & (est.doc_b == 1002)]["est_jaccard"] < 0.3
+    ).all()
+
+
+def test_simhash_near_duplicates_have_small_hamming(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and once"),
+        (3, "entirely distinct vocabulary with zero overlap whatsoever ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet("/tmp/simhash_docs/documents.parquet")
+    out = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup_simhash(spark, "/tmp/simhash_docs").collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+    assert ham(out[1], out[2]) <= 10
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    """Within-bucket ANN must recall a decent share of the true top-5
+    (random 64-d gaussian vectors, 8 planes — recall won't be high, but
+    hits must be real neighbors with identical cosines)."""
+    bf = sim_topk_bruteforce(spark, SF_SMOKE).toPandas()
+    ann = sim_lsh_topk(spark, SF_SMOKE).toPandas()
+    merged = ann.merge(
+        bf, on=["query_id", "neighbor_id"], how="inner", suffixes=("_a", "_b")
+    )
+    if len(merged):
+        assert np.allclose(merged["cos_a"], merged["cos_b"], atol=1e-4)
+    # bucket sizes sum to table size
+    b = sim_lsh_buckets(spark, SF_SMOKE).toPandas()
+    assert b["vec_id"].nunique() == len(b)
+    sizes = b.groupby("bucket")["vec_id"].count()
+    bs = b.drop_duplicates("bucket").set_index("bucket")["bucket_size"]
+    assert (sizes == bs).all()
+
+
+def test_exact_dedup_planted(spark):
+    rows = [(1, "same text"), (2, "same text"), (3, "  Same Text  "), (4, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet("/tmp/exact_docs/documents.parquet")
+    from pymfe_spark.operators.dedup import dedup_exact
+
+    out = dedup_exact(spark, "/tmp/exact_docs").toPandas().set_index("doc_id")
+    assert out.loc[1, "canonical_id"] == 1 and out.loc[1, "cluster_size"] == 3
+    assert out.loc[2, "canonical_id"] == 1
+    assert out.loc[3, "canonical_id"] == 1  # lower(trim()) normalization
+    assert out.loc[4, "cluster_size"] == 1
