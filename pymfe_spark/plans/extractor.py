@@ -39,7 +39,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pymfe_spark.functions.summary import DEFAULT_SUMMARIES, summarize
-from pymfe_spark.plans.measures import ALL_GROUPS, GROUPS, MEASURES, ConvBatch
+from pymfe_spark.plans.measures import GROUPS, MEASURES, ConvBatch, all_groups
+
+# module-level so deserialized kernels on executors see the full
+# registry (workers import this module, not the driver's memory)
+import pymfe_spark.plans.measures_ml  # noqa: E402,F401
 
 HEAVY_GROUPS = {"clustering", "concept"}  # O(n^2) distance matrices
 
@@ -201,10 +205,14 @@ class MFESpark:
 
     def __init__(
         self,
-        groups: tuple[str, ...] = ALL_GROUPS,
+        groups: tuple[str, ...] | None = None,
         summaries: tuple[str, ...] = DEFAULT_SUMMARIES,
         max_kernel_turns: int = 4096,
     ) -> None:
+        if groups is None:
+            groups = all_groups()
+        else:
+            all_groups()  # ensure the ML groups are registered
         unknown = set(groups) - set(GROUPS)
         if unknown:
             raise ValueError(f"unknown groups: {sorted(unknown)}")

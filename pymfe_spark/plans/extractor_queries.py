@@ -37,6 +37,22 @@ def mfe_extract_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.extract(turns(spark, sf_dir))
 
 
+@register("mfe_extract_model_based", oracle=None, group=GROUP)
+def mfe_extract_model_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """landmarking + model-based groups: 10-fold CV landmarkers and
+    CART tree-shape measures, one numpy model per conversation."""
+    ex = MFESpark(groups=("landmarking", "model-based"))
+    return ex.extract(turns(spark, sf_dir))
+
+
+@register("mfe_extract_complexity", oracle=None, group=GROUP)
+def mfe_extract_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """complexity group: F-measures, neighborhood measures over the
+    gower normalized distance matrix, dimensionality measures."""
+    ex = MFESpark(groups=("complexity",))
+    return ex.extract(turns(spark, sf_dir))
+
+
 @register("mfe_extract_full_summaries", oracle=None, group=GROUP)
 def mfe_extract_full_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """general group under the full summary sigma-set (histogram,

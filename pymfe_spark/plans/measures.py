@@ -210,9 +210,13 @@ class MeasureDef:
 MEASURES: dict[str, MeasureDef] = {}
 
 
+GROUPS: dict[str, list[str]] = {}
+
+
 def measure(name: str, group: str, needs_y: bool = False):
     def deco(fn: MeasureFn) -> MeasureFn:
         MEASURES[name] = MeasureDef(name, group, fn, needs_y)
+        GROUPS.setdefault(group, []).append(name)
         return fn
 
     return deco
@@ -850,8 +854,15 @@ def _two_itemset(b: ConvBatch) -> np.ndarray:
     return np.array(out) if out else np.array([np.nan])
 
 
-GROUPS: dict[str, list[str]] = {}
-for _m in MEASURES.values():
-    GROUPS.setdefault(_m.group, []).append(_m.name)
 DEFAULT_GROUPS = ("general", "statistical", "info-theory")
+
+
+def all_groups() -> tuple[str, ...]:
+    """All registered groups (measures_ml registers more on import)."""
+    import pymfe_spark.plans.measures_ml  # noqa: F401  (idempotent)
+
+    return tuple(GROUPS)
+
+
+# backwards-compat constant: groups registered in THIS module
 ALL_GROUPS = tuple(GROUPS)

@@ -1,0 +1,321 @@
+"""Pure-numpy ML primitives for the model-dependent measure groups.
+
+The container has no sklearn/scipy, so the landmarking / model-based /
+complexity groups are backed by from-scratch numpy implementations of
+the public algorithms:
+
+- :class:`NumpyCART` — gini CART classifier (sklearn
+  DecisionTreeClassifier defaults: best-first binary splits on
+  midpoint thresholds, grow to purity, gini feature importances);
+  exposes the ``tree_``-style arrays the model-based formulas read
+  (/root/reference/pymfe/model_based.py:55-261).
+- :func:`stratified_kfold` — per-class contiguous-chunk K folds
+  (sklearn StratifiedKFold(shuffle=False) semantics; raises like
+  sklearn when a class has fewer members than folds).
+- depth-1 stumps, LDA, Gaussian NB, 1-NN — the landmarkers
+  (/root/reference/pymfe/landmarking.py:293-1050).
+
+Conversation batches are small (10²-10⁴ turns), so O(n²) / recursive
+algorithms here are bounded; the extractor caps batch size upstream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------
+# stratified k-fold
+# ---------------------------------------------------------------------
+
+
+def stratified_kfold(y: np.ndarray, k: int = 10):
+    """Yield (train_idx, test_idx) pairs; per-class contiguous chunks.
+
+    Raises ValueError when the rarest class has fewer than ``k``
+    members (mirrors sklearn so the landmarking kernel degrades to NaN
+    through the exception-containment path)."""
+    classes, counts = np.unique(y, return_counts=True)
+    if counts.min() < k:
+        raise ValueError(
+            f"n_splits={k} greater than member count of the rarest class"
+        )
+    folds: list[list[int]] = [[] for _ in range(k)]
+    for c in classes:
+        idx = np.flatnonzero(y == c)
+        splits = np.array_split(idx, k)
+        for f, part in enumerate(splits):
+            folds[f].extend(part.tolist())
+    all_idx = np.arange(y.size)
+    for f in range(k):
+        test = np.sort(np.array(folds[f], dtype=int))
+        train = np.setdiff1d(all_idx, test, assume_unique=False)
+        yield train, test
+
+
+def accuracy(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    return float(np.mean(y_true == y_pred))
+
+
+# ---------------------------------------------------------------------
+# CART (gini)
+# ---------------------------------------------------------------------
+
+
+@dataclass
+class NumpyCART:
+    """Gini CART classifier with sklearn tree_-style arrays."""
+
+    max_depth: int | None = None
+    # tree arrays (filled by fit)
+    feature: list = field(default_factory=list)  # -2 for leaves
+    threshold: list = field(default_factory=list)
+    children_left: list = field(default_factory=list)
+    children_right: list = field(default_factory=list)
+    n_node_samples: list = field(default_factory=list)
+    value: list = field(default_factory=list)  # class counts per node
+    impurity: list = field(default_factory=list)
+    depth: list = field(default_factory=list)
+
+    LEAF = -2
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "NumpyCART":
+        self.classes_, y_enc = np.unique(y, return_inverse=True)
+        self._k = self.classes_.size
+        self._n = X.shape[0]
+        self._build(X, y_enc, np.arange(X.shape[0]), depth=0)
+        return self
+
+    # -- internals ----------------------------------------------------
+
+    def _gini(self, counts: np.ndarray) -> float:
+        n = counts.sum()
+        if n == 0:
+            return 0.0
+        p = counts / n
+        return float(1.0 - (p * p).sum())
+
+    def _best_split(self, X, y, idx):
+        """(feature, threshold, gain) of the best gini split, or None."""
+        counts = np.bincount(y[idx], minlength=self._k)
+        parent_gini = self._gini(counts)
+        n = idx.size
+        best = None
+        for f in range(X.shape[1]):
+            xs = X[idx, f]
+            order = np.argsort(xs, kind="mergesort")
+            xs_sorted = xs[order]
+            ys_sorted = y[idx][order]
+            # candidate cuts between distinct adjacent values
+            diff = np.flatnonzero(xs_sorted[1:] != xs_sorted[:-1])
+            if diff.size == 0:
+                continue
+            # prefix class counts
+            onehot = np.zeros((n, self._k))
+            onehot[np.arange(n), ys_sorted] = 1.0
+            prefix = np.cumsum(onehot, axis=0)
+            for cut in diff:
+                nl = cut + 1
+                left = prefix[cut]
+                right = counts - left
+                g = (
+                    nl / n * self._gini(left)
+                    + (n - nl) / n * self._gini(right)
+                )
+                gain = parent_gini - g
+                if best is None or gain > best[2] + 1e-15:
+                    thr = (xs_sorted[cut] + xs_sorted[cut + 1]) / 2.0
+                    best = (f, thr, gain)
+        return best
+
+    def _add_node(self, y, idx, depth) -> int:
+        node = len(self.feature)
+        counts = np.bincount(y[idx], minlength=self._k)
+        self.feature.append(self.LEAF)
+        self.threshold.append(np.nan)
+        self.children_left.append(-1)
+        self.children_right.append(-1)
+        self.n_node_samples.append(int(idx.size))
+        self.value.append(counts.astype(float))
+        self.impurity.append(self._gini(counts))
+        self.depth.append(depth)
+        return node
+
+    def _build(self, X, y, idx, depth) -> int:
+        node = self._add_node(y, idx, depth)
+        counts = self.value[node]
+        if (
+            (self.max_depth is not None and depth >= self.max_depth)
+            or idx.size < 2
+            or np.count_nonzero(counts) < 2
+        ):
+            return node
+        # sklearn splits on zero impurity decrease too (XOR-style data);
+        # children always strictly shrink, so recursion terminates
+        best = self._best_split(X, y, idx)
+        if best is None:
+            return node
+        f, thr, _ = best
+        mask = X[idx, f] <= thr
+        self.feature[node] = f
+        self.threshold[node] = thr
+        self.children_left[node] = self._build(X, y, idx[mask], depth + 1)
+        self.children_right[node] = self._build(X, y, idx[~mask], depth + 1)
+        return node
+
+    # -- sklearn-ish surface -------------------------------------------
+
+    @property
+    def node_count(self) -> int:
+        return len(self.feature)
+
+    @property
+    def leaf_mask(self) -> np.ndarray:
+        return np.array(self.feature) == self.LEAF
+
+    @property
+    def n_leaves(self) -> int:
+        return int(self.leaf_mask.sum())
+
+    @property
+    def node_depths(self) -> np.ndarray:
+        return np.array(self.depth)
+
+    @property
+    def feature_importances_(self) -> np.ndarray:
+        """Gini importance, normalized (sklearn semantics)."""
+        d = max((f for f in self.feature if f >= 0), default=-1) + 1
+        d = max(d, 1)
+        imp = np.zeros(d)
+        n_root = self.n_node_samples[0]
+        for node, f in enumerate(self.feature):
+            if f < 0:
+                continue
+            l, r = self.children_left[node], self.children_right[node]
+            nt = self.n_node_samples[node]
+            imp[f] += (
+                nt * self.impurity[node]
+                - self.n_node_samples[l] * self.impurity[l]
+                - self.n_node_samples[r] * self.impurity[r]
+            ) / n_root
+        s = imp.sum()
+        return imp / s if s > 0 else imp
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        out = np.empty(X.shape[0], dtype=self.classes_.dtype)
+        for i in range(X.shape[0]):
+            node = 0
+            while self.feature[node] >= 0:
+                if X[i, self.feature[node]] <= self.threshold[node]:
+                    node = self.children_left[node]
+                else:
+                    node = self.children_right[node]
+            out[i] = self.classes_[int(np.argmax(self.value[node]))]
+        return out
+
+
+def feature_importance_full_dt(X: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Importance vector of a full CART — the reference's
+    _rank_feat_importance basis (landmarking.py:239-290)."""
+    tree = NumpyCART().fit(X, y)
+    imp = tree.feature_importances_
+    if imp.size < X.shape[1]:
+        imp = np.pad(imp, (0, X.shape[1] - imp.size))
+    return imp
+
+
+# ---------------------------------------------------------------------
+# landmarker classifiers
+# ---------------------------------------------------------------------
+
+
+def lda_fit_predict(Xtr, ytr, Xte) -> np.ndarray:
+    """LDA with pooled covariance (pinv-regularized)."""
+    classes = np.unique(ytr)
+    n, d = Xtr.shape
+    means = np.array([Xtr[ytr == c].mean(axis=0) for c in classes])
+    pooled = np.zeros((d, d))
+    for c, mu in zip(classes, means):
+        Xc = Xtr[ytr == c] - mu
+        pooled += Xc.T @ Xc
+    pooled /= max(n - classes.size, 1)
+    pooled += 1e-9 * np.eye(d)
+    prec = np.linalg.pinv(pooled)
+    priors = np.array([np.mean(ytr == c) for c in classes])
+    scores = np.empty((Xte.shape[0], classes.size))
+    for j, (mu, pi) in enumerate(zip(means, priors)):
+        w = prec @ mu
+        b = -0.5 * mu @ w + np.log(pi)
+        scores[:, j] = Xte @ w + b
+    return classes[np.argmax(scores, axis=1)]
+
+
+def gnb_fit_predict(Xtr, ytr, Xte) -> np.ndarray:
+    """Gaussian naive Bayes (sklearn var_smoothing=1e-9 semantics)."""
+    classes = np.unique(ytr)
+    eps = 1e-9 * Xtr.var(axis=0).max()
+    loglik = np.empty((Xte.shape[0], classes.size))
+    for j, c in enumerate(classes):
+        Xc = Xtr[ytr == c]
+        mu = Xc.mean(axis=0)
+        var = Xc.var(axis=0) + eps
+        prior = np.log(Xc.shape[0] / Xtr.shape[0])
+        ll = -0.5 * np.sum(
+            np.log(2 * np.pi * var) + (Xte - mu) ** 2 / var, axis=1
+        )
+        loglik[:, j] = ll + prior
+    return classes[np.argmax(loglik, axis=1)]
+
+
+def one_nn_fit_predict(Xtr, ytr, Xte) -> np.ndarray:
+    """1-nearest-neighbor, euclidean."""
+    aa = (Xte * Xte).sum(axis=1)[:, None]
+    bb = (Xtr * Xtr).sum(axis=1)[None, :]
+    d2 = aa + bb - 2.0 * Xte @ Xtr.T
+    return ytr[np.argmin(d2, axis=1)]
+
+
+# ---------------------------------------------------------------------
+# graph / distance helpers for the complexity group
+# ---------------------------------------------------------------------
+
+
+def gower_norm_dist(N: np.ndarray) -> np.ndarray:
+    """Gower distance on 0-1-scaled numeric data, normalized to [0,1]
+    (the reference's _calc_norm_dist_mat default,
+    /root/reference/pymfe/complexity.py:450-497)."""
+    mn, mx = N.min(axis=0), N.max(axis=0)
+    rng = np.where(mx > mn, mx - mn, 1.0)
+    S = (N - mn) / rng
+    n, d = S.shape
+    D = np.zeros((n, n))
+    for f in range(d):
+        D += np.abs(S[:, f][:, None] - S[:, f][None, :])
+    D /= d
+    ptp = D.max() - D.min()
+    if ptp > 0:
+        D = (D - D.min()) / ptp
+    return D
+
+
+def minimum_spanning_tree_edges(D: np.ndarray) -> list[tuple[int, int]]:
+    """Prim's MST over a dense distance matrix -> edge list."""
+    n = D.shape[0]
+    if n < 2:
+        return []
+    in_tree = np.zeros(n, dtype=bool)
+    in_tree[0] = True
+    best_dist = D[0].copy()
+    best_from = np.zeros(n, dtype=int)
+    edges = []
+    for _ in range(n - 1):
+        best_dist_masked = np.where(in_tree, np.inf, best_dist)
+        j = int(np.argmin(best_dist_masked))
+        edges.append((int(best_from[j]), j))
+        in_tree[j] = True
+        closer = D[j] < best_dist
+        best_dist = np.where(closer, D[j], best_dist)
+        best_from = np.where(closer, j, best_from)
+    return edges
