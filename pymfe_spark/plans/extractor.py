@@ -44,6 +44,10 @@ from pymfe_spark.plans.measures import GROUPS, MEASURES, ConvBatch, all_groups
 # module-level so deserialized kernels on executors see the full
 # registry (workers import this module, not the driver's memory)
 import pymfe_spark.plans.measures_ml  # noqa: E402,F401
+from pymfe_spark.plans.postprocess import (  # noqa: E402
+    add_relative_landmarking,
+    bootstrap_rows,
+)
 
 HEAVY_GROUPS = {"clustering", "concept"}  # O(n^2) distance matrices
 
@@ -160,6 +164,7 @@ def _extract_contiguous(
     measure_names: tuple[str, ...],
     summaries: tuple[str, ...],
     cap: int,
+    relative: bool = False,
 ):
     """Yield ONE result frame for a chunk of whole conversations,
     contiguous and sorted by (conv_id, turn_idx). Column arrays are
@@ -183,6 +188,8 @@ def _extract_contiguous(
         arrays = (text_len[s:e], ts_delta[s:e], turn_idx[s:e], role[s:e], tool[s:e])
         batch = _batch_from_arrays(*arrays)
         rows = _measure_rows(batch, arrays, measure_names, summaries, cap)
+        if relative:
+            rows = add_relative_landmarking(rows)
         names = sorted(rows)
         out_conv.extend([conv[s]] * len(names))
         out_name.extend(names)
@@ -213,6 +220,14 @@ class MFESpark:
             groups = all_groups()
         else:
             all_groups()  # ensure the ML groups are registered
+        # 'relative' pseudo-group: depends on landmarking and enables
+        # the rank postprocess (group dependency expansion,
+        # /root/reference/pymfe/_internal.py:878-904)
+        self.relative = "relative" in groups
+        if self.relative:
+            groups = tuple(
+                g for g in dict.fromkeys((*groups, "landmarking")) if g != "relative"
+            )
         unknown = set(groups) - set(GROUPS)
         if unknown:
             raise ValueError(f"unknown groups: {sorted(unknown)}")
@@ -240,6 +255,7 @@ class MFESpark:
         measure_names = self.measure_names
         summaries = self.summaries
         cap = self.max_kernel_turns
+        relative = self.relative
 
         def kernel(batches: "Iterable[pd.DataFrame]"):
             leftover: pd.DataFrame | None = None
@@ -257,11 +273,11 @@ class MFESpark:
                 leftover = pdf.iloc[cut:].reset_index(drop=True)
                 done = pdf.iloc[:cut]
                 yield from _extract_contiguous(
-                    done, measure_names, summaries, cap
+                    done, measure_names, summaries, cap, relative
                 )
             if leftover is not None and len(leftover):
                 yield from _extract_contiguous(
-                    leftover, measure_names, summaries, cap
+                    leftover, measure_names, summaries, cap, relative
                 )
 
         cols = ["conv_id", "turn_idx", "role", "tool", "text_len", "ts_delta_s"]
@@ -305,6 +321,130 @@ class MFESpark:
                 F.sort_array(F.collect_list(F.struct("mtf_name", "mtf_val")))
             ).alias("features")
         )
+
+
+BOOT_SCHEMA = (
+    "conv_id string, mtf_name string, mtf_val double, "
+    "ci_low double, ci_high double"
+)
+
+
+def _confidence_methods(cls):
+    """Attach the bootstrap / introspection API to MFESpark (kept out
+    of the class body for readability)."""
+
+    def extract_with_confidence(
+        self,
+        turns_df: DataFrame,
+        sample_num: int = 128,
+        confidence: float = 0.95,
+        global_seed: int = 42,
+    ) -> DataFrame:
+        """Bootstrap confidence intervals per (conv, measure) — the
+        extract_with_confidence entry point
+        (/root/reference/pymfe/mfe.py:1523-1679): ``sample_num`` seeded
+        joint row-resamples per conversation, empirical-bootstrap
+        intervals around the full-data estimate. Embarrassingly
+        parallel: the resample loop lives inside the per-conversation
+        kernel, so the physical plan is identical to extract()."""
+        measure_names = self.measure_names
+        summaries = self.summaries
+        cap = self.max_kernel_turns
+
+        def compute(arrays):
+            batch = _batch_from_arrays(*arrays)
+            return _measure_rows(batch, arrays, measure_names, summaries, cap)
+
+        def kernel(batches: "Iterable[pd.DataFrame]"):
+            for pdf in batches:
+                conv = pdf["conv_id"].to_numpy()
+                text_len = pdf["text_len"].to_numpy(dtype=float)
+                ts_delta = np.nan_to_num(
+                    pdf["ts_delta_s"].to_numpy(dtype=float), nan=0.0
+                )
+                turn_idx = pdf["turn_idx"].to_numpy(dtype=float)
+                role = pdf["role"].to_numpy(dtype=object)
+                tool = np.where(
+                    pd.isna(pdf["tool"].to_numpy(dtype=object)),
+                    "NONE",
+                    pdf["tool"].to_numpy(dtype=object),
+                )
+                arrays = (text_len, ts_delta, turn_idx, role, tool)
+                res = bootstrap_rows(
+                    compute,
+                    arrays,
+                    str(conv[0]),
+                    sample_num=sample_num,
+                    confidence=confidence,
+                    global_seed=global_seed,
+                )
+                names = sorted(res)
+                yield pd.DataFrame(
+                    {
+                        "conv_id": conv[0],
+                        "mtf_name": names,
+                        "mtf_val": [res[n][0] for n in names],
+                        "ci_low": [res[n][1] for n in names],
+                        "ci_high": [res[n][2] for n in names],
+                    }
+                )
+
+        cols = ["conv_id", "turn_idx", "role", "tool", "text_len", "ts_delta_s"]
+        spark = turns_df.sparkSession
+        n_part = spark.sparkContext.defaultParallelism
+        return (
+            turns_df.select(*cols)
+            .repartition(n_part, "conv_id")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .groupBy("conv_id")
+            .applyInPandas(
+                lambda pdf: next(kernel(iter([pdf]))), schema=BOOT_SCHEMA
+            )
+        )
+
+    def metafeature_names(self) -> list[str]:
+        """Predict the output feature-name list without touching data —
+        the extract_metafeature_names analogue
+        (/root/reference/pymfe/mfe.py:1399-1521). Dry-runs the kernel on
+        a tiny synthetic 2-class batch."""
+        n = 40
+        rng = np.random.RandomState(0)
+        pdf = pd.DataFrame(
+            {
+                "conv_id": ["_dry"] * n,
+                "turn_idx": range(n),
+                "role": ["user", "assistant"] * (n // 2),
+                "tool": [None, "exec"] * (n // 2),
+                "text_len": rng.uniform(10, 100, n),
+                "ts_delta_s": rng.uniform(1, 60, n),
+            }
+        )
+        out = next(
+            _extract_contiguous(
+                pdf,
+                self.measure_names,
+                self.summaries,
+                self.max_kernel_turns,
+                self.relative,
+            )
+        )
+        return sorted(out["mtf_name"].tolist())
+
+    def parse_by_group(self, long_df: DataFrame, group: str) -> DataFrame:
+        """Slice a long extraction result down to one group's features
+        (the parse_by_group classmethod analogue,
+        /root/reference/pymfe/mfe.py:1907)."""
+        names = set(GROUPS[group])
+        base = F.split(F.col("mtf_name"), "\\.").getItem(0)
+        return long_df.filter(base.isin(*names))
+
+    cls.extract_with_confidence = extract_with_confidence
+    cls.metafeature_names = metafeature_names
+    cls.parse_by_group = parse_by_group
+    return cls
+
+
+_confidence_methods(MFESpark)
 
 
 def extract_at_final_turn(

@@ -53,6 +53,22 @@ def mfe_extract_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.extract(turns(spark, sf_dir))
 
 
+@register("mfe_extract_relative", oracle=None, group=GROUP)
+def mfe_extract_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relative-landmarking postprocess: per-conversation rank of the
+    landmarkers per summary suffix (relative.py:56-156)."""
+    ex = MFESpark(groups=("relative",))
+    return ex.extract(turns(spark, sf_dir))
+
+
+@register("mfe_extract_confidence", oracle=None, group=GROUP)
+def mfe_extract_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap CIs (B=32 for the gate's runtime budget) over the
+    general group — extract_with_confidence analogue."""
+    ex = MFESpark(groups=("general",))
+    return ex.extract_with_confidence(turns(spark, sf_dir), sample_num=32)
+
+
 @register("mfe_extract_full_summaries", oracle=None, group=GROUP)
 def mfe_extract_full_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """general group under the full summary sigma-set (histogram,

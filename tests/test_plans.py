@@ -1,0 +1,80 @@
+"""Physical-plan audits: the optimizer properties the 100 TB design
+relies on must be visible in explain() output — column pruning to the
+parquet scan, no cartesian products, broadcast for small sides, pinned
+parallelism for the Python kernel stage."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from pymfe_spark.plans.catalog import load_catalog
+from tests.conftest import SF_SMOKE
+
+CATALOG = load_catalog()
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def plan_of(spark, name: str) -> str:
+    return explain_str(CATALOG[name].fn(spark, SF_SMOKE))
+
+
+def test_column_pruning_reaches_scan(spark):
+    """text_token_stats projects only (doc_id, text): lang/source must
+    not survive into the parquet ReadSchema."""
+    plan = plan_of(spark, "text_token_stats")
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert scans, "no parquet scan found"
+    for s in scans:
+        assert "lang" not in s and "source" not in s, f"unpruned scan: {s}"
+
+
+def test_no_cartesian_products_anywhere(spark):
+    for name in CATALOG:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_similarity_broadcasts_query_side(spark):
+    plan = plan_of(spark, "sim_topk_bruteforce")
+    assert "Broadcast" in plan, "query side not broadcast"
+
+
+def test_asof_union_plan_has_single_sort_exchange(spark):
+    """The as-of window strategy: exactly one exchange feeding one
+    window sort over the union (plus AQE wrappers)."""
+    plan = plan_of(spark, "asof_snapshot")
+    n_exchange = plan.count("hashpartitioning(conv_id")
+    assert n_exchange == 1, f"expected 1 conv_id exchange, saw {n_exchange}"
+    assert "Window" in plan
+
+
+def test_extractor_python_stage_parallelism_pinned(spark):
+    """The mapInPandas stage must sit behind an explicit user
+    repartition (exempt from AQE coalescing)."""
+    plan = plan_of(spark, "mfe_extract_core")
+    assert "MapInPandas" in plan
+    m = re.search(
+        r"hashpartitioning\(conv_id#\d+, (\d+)\), REPARTITION_BY_", plan
+    )
+    assert m, "no explicit user repartition before the kernel"
+    n = int(m.group(1))
+    assert n == spark.sparkContext.defaultParallelism
+
+
+def test_filter_pushdown_to_parquet(spark):
+    """A filtered read pushes the predicate into PushedFilters."""
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        "n_chars > 100"
+    ).select("doc_id")
+    plan = explain_str(df)
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]" in plan
