@@ -49,7 +49,7 @@ from pymfe_spark.plans.postprocess import (  # noqa: E402
     bootstrap_rows,
 )
 
-HEAVY_GROUPS = {"clustering", "concept"}  # O(n^2) distance matrices
+HEAVY_GROUPS = {"clustering", "concept", "complexity"}  # O(n^2) kernels
 
 OUT_SCHEMA = "conv_id string, mtf_name string, mtf_val double"
 
@@ -66,14 +66,45 @@ def _equal_freq_bins(v: np.ndarray) -> np.ndarray:
     return np.digitize(v, cuts)
 
 
-def build_batch(pdf: pd.DataFrame, assume_sorted: bool = False) -> ConvBatch:
+VALID_RESCALE = ("standard", "min-max", "robust")
+
+
+def rescale_numeric(N: np.ndarray, option: str | None) -> np.ndarray:
+    """Optional rescaling of the numeric view N
+    (/root/reference/pymfe/_internal.py:157-163,1627-1667): sklearn
+    StandardScaler (population std), MinMaxScaler, RobustScaler
+    (median / IQR) semantics, with the zero-range guard (scale -> 1)."""
+    if option is None:
+        return N
+    if option == "standard":
+        mu, sd = N.mean(axis=0), N.std(axis=0)
+        return (N - mu) / np.where(sd > 0, sd, 1.0)
+    if option == "min-max":
+        mn = N.min(axis=0)
+        rng = N.max(axis=0) - mn
+        return (N - mn) / np.where(rng > 0, rng, 1.0)
+    if option == "robust":
+        med = np.median(N, axis=0)
+        q1, q3 = np.percentile(N, [25, 75], axis=0)
+        iqr = q3 - q1
+        return (N - med) / np.where(iqr > 0, iqr, 1.0)
+    raise ValueError(
+        f"unknown rescale option {option!r}; choose one of {VALID_RESCALE}"
+    )
+
+
+def build_batch(
+    pdf: pd.DataFrame,
+    assume_sorted: bool = False,
+    rescale: str | None = None,
+) -> ConvBatch:
     """Assemble N / C / y views from one conversation's turns."""
     if not assume_sorted:
         pdf = pdf.sort_values("turn_idx")
     text_len = pdf["text_len"].to_numpy(dtype=float)
     ts_delta = pdf["ts_delta_s"].fillna(0.0).to_numpy(dtype=float)
     turn_idx = pdf["turn_idx"].to_numpy(dtype=float)
-    N = np.column_stack([text_len, ts_delta, turn_idx])
+    N = rescale_numeric(np.column_stack([text_len, ts_delta, turn_idx]), rescale)
     role = pdf["role"].to_numpy(dtype=object)
     tool0 = pdf["tool"].fillna("NONE").to_numpy(dtype=object)
     len_bin = _equal_freq_bins(text_len).astype(object)
@@ -87,10 +118,11 @@ def extract_batch(
     summaries: tuple[str, ...],
     max_kernel_turns: int,
     assume_sorted: bool = False,
+    rescale: str | None = None,
 ) -> pd.DataFrame:
     """Run the selected measures over one conversation batch."""
     conv_id = pdf["conv_id"].iloc[0]
-    batch = build_batch(pdf, assume_sorted=assume_sorted)
+    batch = build_batch(pdf, assume_sorted=assume_sorted, rescale=rescale)
     capped: ConvBatch | None = None
     rows: dict[str, float] = {}
     for name in measure_names:
@@ -98,7 +130,7 @@ def extract_batch(
         b = batch
         if mdef.group in HEAVY_GROUPS and batch.N.shape[0] > max_kernel_turns:
             if capped is None:
-                capped = build_batch(pdf.iloc[:max_kernel_turns])
+                capped = build_batch(pdf.iloc[:max_kernel_turns], rescale=rescale)
             b = capped
         try:
             # degenerate batches (single turn, constant columns) yield
@@ -125,8 +157,9 @@ def _batch_from_arrays(
     turn_idx: np.ndarray,
     role: np.ndarray,
     tool: np.ndarray,
+    rescale: str | None = None,
 ) -> ConvBatch:
-    N = np.column_stack([text_len, ts_delta, turn_idx])
+    N = rescale_numeric(np.column_stack([text_len, ts_delta, turn_idx]), rescale)
     len_bin = _equal_freq_bins(text_len).astype(object)
     C = np.column_stack([role, tool, len_bin])
     return ConvBatch(N=N, C=C, y=role)
@@ -138,6 +171,7 @@ def _measure_rows(
     measure_names: tuple[str, ...],
     summaries: tuple[str, ...],
     cap: int,
+    rescale: str | None = None,
 ) -> dict[str, float]:
     """All (name -> value) rows for one conversation batch."""
     capped: ConvBatch | None = None
@@ -147,7 +181,9 @@ def _measure_rows(
         b = batch
         if mdef.group in HEAVY_GROUPS and batch.N.shape[0] > cap:
             if capped is None:
-                capped = _batch_from_arrays(*(a[:cap] for a in pdf_slice))
+                capped = _batch_from_arrays(
+                    *(a[:cap] for a in pdf_slice), rescale=rescale
+                )
             b = capped
         try:
             with np.errstate(all="ignore"), warnings.catch_warnings():
@@ -165,6 +201,7 @@ def _extract_contiguous(
     summaries: tuple[str, ...],
     cap: int,
     relative: bool = False,
+    rescale: str | None = None,
 ):
     """Yield ONE result frame for a chunk of whole conversations,
     contiguous and sorted by (conv_id, turn_idx). Column arrays are
@@ -186,8 +223,8 @@ def _extract_contiguous(
     out_val: list[float] = []
     for s, e in zip(bounds[:-1], bounds[1:]):
         arrays = (text_len[s:e], ts_delta[s:e], turn_idx[s:e], role[s:e], tool[s:e])
-        batch = _batch_from_arrays(*arrays)
-        rows = _measure_rows(batch, arrays, measure_names, summaries, cap)
+        batch = _batch_from_arrays(*arrays, rescale=rescale)
+        rows = _measure_rows(batch, arrays, measure_names, summaries, cap, rescale)
         if relative:
             rows = add_relative_landmarking(rows)
         names = sorted(rows)
@@ -215,7 +252,14 @@ class MFESpark:
         groups: tuple[str, ...] | None = None,
         summaries: tuple[str, ...] = DEFAULT_SUMMARIES,
         max_kernel_turns: int = 4096,
+        rescale: str | None = None,
     ) -> None:
+        if rescale is not None and rescale not in VALID_RESCALE:
+            raise ValueError(
+                f"unknown rescale option {rescale!r}; "
+                f"choose one of {VALID_RESCALE}"
+            )
+        self.rescale = rescale
         if groups is None:
             groups = all_groups()
         else:
@@ -256,6 +300,7 @@ class MFESpark:
         summaries = self.summaries
         cap = self.max_kernel_turns
         relative = self.relative
+        rescale = self.rescale
 
         def kernel(batches: "Iterable[pd.DataFrame]"):
             leftover: pd.DataFrame | None = None
@@ -273,11 +318,11 @@ class MFESpark:
                 leftover = pdf.iloc[cut:].reset_index(drop=True)
                 done = pdf.iloc[:cut]
                 yield from _extract_contiguous(
-                    done, measure_names, summaries, cap, relative
+                    done, measure_names, summaries, cap, relative, rescale
                 )
             if leftover is not None and len(leftover):
                 yield from _extract_contiguous(
-                    leftover, measure_names, summaries, cap, relative
+                    leftover, measure_names, summaries, cap, relative, rescale
                 )
 
         cols = ["conv_id", "turn_idx", "role", "tool", "text_len", "ts_delta_s"]
@@ -298,9 +343,10 @@ class MFESpark:
         measure_names = self.measure_names
         summaries = self.summaries
         cap = self.max_kernel_turns
+        rescale = self.rescale
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            return extract_batch(pdf, measure_names, summaries, cap)
+            return extract_batch(pdf, measure_names, summaries, cap, rescale=rescale)
 
         cols = ["conv_id", "turn_idx", "role", "tool", "text_len", "ts_delta_s"]
         spark = turns_df.sparkSession
@@ -350,10 +396,11 @@ def _confidence_methods(cls):
         measure_names = self.measure_names
         summaries = self.summaries
         cap = self.max_kernel_turns
+        rescale = self.rescale
 
         def compute(arrays):
-            batch = _batch_from_arrays(*arrays)
-            return _measure_rows(batch, arrays, measure_names, summaries, cap)
+            batch = _batch_from_arrays(*arrays, rescale=rescale)
+            return _measure_rows(batch, arrays, measure_names, summaries, cap, rescale)
 
         def kernel(batches: "Iterable[pd.DataFrame]"):
             for pdf in batches:
@@ -426,6 +473,7 @@ def _confidence_methods(cls):
                 self.summaries,
                 self.max_kernel_turns,
                 self.relative,
+                self.rescale,
             )
         )
         return sorted(out["mtf_name"].tolist())

@@ -13,6 +13,13 @@ plans.ml. Parity targets cited per measure; documented deviations
 - complexity n1/n2/n3/lsc use the gower normalized distance matrix
   (complexity.py:450-497); t3/t4 use eigen-PCA for the 95%-variance
   component count.
+- complexity l1/l2/l3 use a deterministic full-batch hinge-loss linear
+  SVM (plans.ml.linear_svm_fit) in place of liblinear dual coordinate
+  descent; same objective (0.5||w||^2 + 2.0*sum hinge on standardized
+  features), solver differs.
+- density/cls_coef/hubs replace igraph with dense-numpy graph formulas
+  (edge count, 3*triangles/triples via trace(A^3), principal
+  eigenvector hub scores).
 """
 
 from __future__ import annotations
@@ -464,3 +471,190 @@ def _c2(b: ConvBatch) -> float:
         return float("nan")
     ir = ((k - 1.0) / k) * np.sum(cnt / (n - cnt))
     return float(1.0 - 1.0 / ir)
+
+
+# ---------------------------------------------------------------------
+# complexity: linearity (l1-l3), interpolation (n4), hypersphere cover
+# (t1) and same-class neighbor-graph trio (density/cls_coef/hubs) —
+# previously deferred; pure numpy via plans.ml
+# ---------------------------------------------------------------------
+
+from pymfe_spark.plans.ml import (  # noqa: E402
+    gower_cross_dist,
+    graph_density,
+    graph_hub_scores,
+    graph_transitivity,
+    hypersphere_radii,
+    interpolate_within_class,
+    linear_svm_decision,
+    linear_svm_fit,
+    nearest_enemies,
+    same_class_knn_adjacency,
+    scale_minmax,
+)
+
+
+def _scaled_N(b: ConvBatch) -> np.ndarray:
+    if "scaled_N" not in b._cache:
+        b._cache["scaled_N"] = scale_minmax(b.N)
+    return b._cache["scaled_N"]
+
+
+def _ovo_svms(b: ConvBatch):
+    """One fitted linear SVM per ovo class pair, shared by l1/l2/l3
+    (the reference precomputes the pipeline once,
+    complexity.py:170-229, and refits per pair in each ft_l*)."""
+    if "ovo_svms" not in b._cache:
+        classes, _ = b.classes()
+        fits = []
+        for c1, c2 in _ovo_pairs(classes):
+            m1, m2 = b.y == c1, b.y == c2
+            union = np.logical_or(m1, m2)
+            N_sub = b.N[union, :]
+            y_sub = m1[union]
+            fits.append((N_sub, y_sub, linear_svm_fit(N_sub, y_sub)))
+        b._cache["ovo_svms"] = fits
+    return b._cache["ovo_svms"]
+
+
+@measure("l1", "complexity", needs_y=True)
+def _l1(b: ConvBatch) -> np.ndarray:
+    """Sum of error distance of a linear classifier per ovo pair
+    (complexity.py:1183-1307): L1-norm of decision values of
+    misclassified points / pair size; 1 - 1/(1+that)."""
+    out = []
+    for N_sub, y_sub, model in _ovo_svms(b):
+        dec = linear_svm_decision(model, N_sub)
+        pred = dec > 0
+        wrong = pred != y_sub
+        err = float(np.abs(dec[wrong]).sum()) if wrong.any() else 0.0
+        sum_err = err / y_sub.size
+        out.append(1.0 - 1.0 / (1.0 + sum_err))
+    return np.array(out) if out else np.array([np.nan])
+
+
+@measure("l2", "complexity", needs_y=True)
+def _l2(b: ConvBatch) -> np.ndarray:
+    """Training error rate of the ovo linear classifier
+    (complexity.py:1308-1414)."""
+    out = []
+    for N_sub, y_sub, model in _ovo_svms(b):
+        pred = linear_svm_decision(model, N_sub) > 0
+        out.append(float(np.mean(pred != y_sub)))
+    return np.array(out) if out else np.array([np.nan])
+
+
+@measure("l3", "complexity", needs_y=True)
+def _l3(b: ConvBatch) -> np.ndarray:
+    """Non-linearity of the linear classifier (complexity.py:1415-1541):
+    error rate on a within-class randomly interpolated copy of the ovo
+    subset; seed varies per pair as the reference increments
+    random_state per iteration (complexity.py:1510-1514)."""
+    out = []
+    for ind, (N_sub, y_sub, model) in enumerate(_ovo_svms(b)):
+        cls_inds_sub = np.array([~y_sub, y_sub])
+        rng = np.random.RandomState(SEED + ind)
+        N_int, y_int = interpolate_within_class(
+            N_sub, y_sub, cls_inds_sub, rng
+        )
+        pred = linear_svm_decision(model, N_int) > 0
+        out.append(float(np.mean(pred != y_int)))
+    return np.array(out) if out else np.array([np.nan])
+
+
+@measure("n4", "complexity", needs_y=True)
+def _n4(b: ConvBatch) -> np.ndarray:
+    """Non-linearity of the 1-NN classifier (complexity.py:1830-1965):
+    per-interpolated-instance misclassification indicator of a 1-NN
+    trained on the normalized (gower) distances of the original data and
+    queried with interpolated points."""
+    D = _norm_dist(b)
+    Ns = _scaled_N(b)
+    rng = np.random.RandomState(SEED)
+    N_int, y_int = interpolate_within_class(Ns, b.y, b.cls_inds(), rng)
+    test_dist = gower_cross_dist(N_int, Ns)
+    nn = np.argmin(test_dist, axis=1)
+    # D only breaks ties the same way sklearn's precomputed-1NN would;
+    # predictions come from the original labels
+    _ = D
+    return (b.y[nn] != y_int).astype(float)
+
+
+@measure("t1", "complexity", needs_y=True)
+def _t1(b: ConvBatch) -> float:
+    """Fraction of hyperspheres needed to cover the data
+    (complexity.py:2046-2259): nearest-enemy radii on the original
+    (unnormalized-range gower) distances, then larger-mass spheres
+    absorb spheres whose centers they contain."""
+    D = _norm_dist(b)
+    ne_dist, ne_ind = nearest_enemies(D, b.cls_inds())
+    if not np.isfinite(ne_dist).all():
+        return float("nan")  # single-class slice: no enemies
+    radii = hypersphere_radii(ne_dist, ne_ind)
+    within = D <= radii  # center of row-sphere inside col-sphere
+    mass = within.sum(axis=0)
+    order = np.argsort(-mass, kind="stable")
+    count = np.ones(radii.size, dtype=int)
+    for i in order:
+        if count[i] <= 0:
+            continue
+        members = np.flatnonzero(within[:, i])
+        absorbed = int(count[members].sum())
+        count[members] = 0
+        count[i] = absorbed
+    return float(int((count > 0).sum()) / b.y.size)
+
+
+def _adj_graph(b: ConvBatch) -> np.ndarray:
+    if "adj_graph" not in b._cache:
+        b._cache["adj_graph"] = same_class_knn_adjacency(
+            _norm_dist(b), b.cls_inds()
+        )
+    return b._cache["adj_graph"]
+
+
+@measure("density", "complexity", needs_y=True)
+def _density(b: ConvBatch) -> float:
+    """1 - density of the same-class k-NN graph
+    (complexity.py:2498-2590)."""
+    return float(1.0 - graph_density(_adj_graph(b)))
+
+
+@measure("cls_coef", "complexity", needs_y=True)
+def _cls_coef(b: ConvBatch) -> float:
+    """1 - global clustering coefficient of the same-class k-NN graph
+    (complexity.py:2591-2682)."""
+    return float(1.0 - graph_transitivity(_adj_graph(b)))
+
+
+@measure("hubs", "complexity", needs_y=True)
+def _hubs(b: ConvBatch) -> np.ndarray:
+    """1 - hub score per instance of the same-class k-NN graph
+    (complexity.py:2683-2774)."""
+    return 1.0 - graph_hub_scores(_adj_graph(b))
+
+
+@measure("f1v", "complexity", needs_y=True)
+def _f1v(b: ConvBatch) -> np.ndarray:
+    """Directional-vector Fisher discriminant ratio per ovo pair
+    (complexity.py:815-918): Fisher direction d = W⁺(μ1-μ2), then
+    1/(1 + dᵀB d / dᵀW d) with class-weighted within-scatter W and
+    between-scatter B (np.linalg.pinv in place of scipy.linalg.pinv —
+    the reference itself notes pinv-implementation differences do not
+    affect the result)."""
+    classes, cnt = b.classes()
+    cntmap = dict(zip(classes, cnt))
+    cents = {c: b.N[b.y == c].mean(axis=0) for c in classes}
+    scatter = {c: np.cov(b.N[b.y == c], rowvar=False, ddof=1) for c in classes}
+    out = []
+    for c1, c2 in _ovo_pairs(classes):
+        diff = (cents[c1] - cents[c2]).reshape(-1, 1)
+        n_pair = cntmap[c1] + cntmap[c2]
+        W = (cntmap[c1] * scatter[c1] + cntmap[c2] * scatter[c2]) / n_pair
+        direc = np.linalg.pinv(np.atleast_2d(W)) @ diff
+        B = np.outer(diff, diff)
+        num = float(direc.T @ B @ direc)
+        den = float(direc.T @ np.atleast_2d(W) @ direc)
+        with np.errstate(all="ignore"):
+            out.append(float(1.0 / (1.0 + num / den)))
+    return np.array(out) if out else np.array([np.nan])

@@ -319,3 +319,207 @@ def minimum_spanning_tree_edges(D: np.ndarray) -> list[tuple[int, int]]:
         best_dist = np.where(closer, D[j], best_dist)
         best_from = np.where(closer, j, best_from)
     return edges
+
+
+# ---------------------------------------------------------------------
+# linear SVM + interpolation + hypersphere / graph helpers for the
+# complexity group (l1-l3, n4, t1, density/cls_coef/hubs)
+# ---------------------------------------------------------------------
+
+
+def scale_minmax(N: np.ndarray) -> np.ndarray:
+    """Min-max scale each feature to [0, 1]
+    (/root/reference/pymfe/complexity.py:717 _scale_N)."""
+    mn, mx = N.min(axis=0), N.max(axis=0)
+    rng = np.where(mx > mn, mx - mn, 1.0)
+    return (N - mn) / rng
+
+
+def gower_cross_dist(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Gower distance between two all-numeric matrices: mean per-feature
+    abs difference scaled by the union range (gower.gower_matrix(A, B)
+    semantics for numeric-only data, used by ft_n4,
+    /root/reference/pymfe/complexity.py:1944-1951)."""
+    lo = np.minimum(A.min(axis=0), B.min(axis=0))
+    hi = np.maximum(A.max(axis=0), B.max(axis=0))
+    rng = np.where(hi > lo, hi - lo, 1.0)
+    As, Bs = (A - lo) / rng, (B - lo) / rng
+    D = np.zeros((A.shape[0], B.shape[0]))
+    for f in range(As.shape[1]):
+        D += np.abs(As[:, f][:, None] - Bs[:, f][None, :])
+    return D / As.shape[1]
+
+
+def linear_svm_fit(X: np.ndarray, y_bin: np.ndarray, C: float = 2.0,
+                   n_iter: int = 500):
+    """Deterministic full-batch Pegasos-style hinge-loss linear SVM with
+    internal standardization.
+
+    Stand-in for the reference's StandardScaler + LinearSVC(penalty=l2,
+    loss=hinge, C=2.0) pipeline (/root/reference/pymfe/complexity.py:
+    170-229): same objective (0.5||w||^2 + C * sum hinge), different
+    solver (liblinear dual coordinate descent is not reproduced; the
+    full-batch subgradient path is deterministic with no RNG, which the
+    engine needs for partition-order-independent results). Bias handled
+    as an appended constant feature (regularized — minor deviation).
+    """
+    mu = X.mean(axis=0)
+    sd = X.std(axis=0)
+    sd = np.where(sd > 0, sd, 1.0)
+    Xs = np.hstack([(X - mu) / sd, np.ones((X.shape[0], 1))])
+    yy = np.where(np.asarray(y_bin, dtype=bool), 1.0, -1.0)
+    n, d = Xs.shape
+    lam = 1.0 / (C * n)
+    w = np.zeros(d)
+    for t in range(1, n_iter + 1):
+        eta = 1.0 / (lam * t)
+        viol = yy * (Xs @ w) < 1.0
+        grad = lam * w - (yy[viol, None] * Xs[viol]).sum(axis=0) / n
+        w = w - eta * grad
+    return mu, sd, w
+
+
+def linear_svm_decision(model, X: np.ndarray) -> np.ndarray:
+    """Signed distance-like decision values of :func:`linear_svm_fit`."""
+    mu, sd, w = model
+    Xs = np.hstack([(X - mu) / sd, np.ones((X.shape[0], 1))])
+    return Xs @ w
+
+
+def interpolate_within_class(N: np.ndarray, y: np.ndarray,
+                             cls_inds: np.ndarray,
+                             rng: np.random.RandomState):
+    """New dataset of same shape: each class block replaced by random
+    convex combinations of pairs drawn (with replacement) from that
+    class (/root/reference/pymfe/complexity.py:646-699 _interpolate;
+    seeded RandomState instead of the global np.random state so results
+    are partition-order independent)."""
+    N_out = np.zeros_like(N)
+    y_out = np.zeros_like(y)
+    pos = 0
+    for mask in cls_inds:
+        blk = N[mask, :]
+        m = blk.shape[0]
+        a = blk[rng.choice(m, m), :]
+        b = blk[rng.choice(m, m), :]
+        t = rng.random_sample(blk.shape)
+        nxt = pos + m
+        N_out[pos:nxt, :] = a + (b - a) * t
+        y_out[pos:nxt] = y[mask]
+        pos = nxt
+    return N_out, y_out
+
+
+def nearest_enemies(D: np.ndarray, cls_inds: np.ndarray):
+    """Per-instance distance to and index of the nearest other-class
+    instance (/root/reference/pymfe/complexity.py:687-716)."""
+    n = D.shape[0]
+    en_dist = np.full(n, np.inf)
+    en_ind = np.full(n, -1, dtype=int)
+    for mask in cls_inds:
+        friends = np.flatnonzero(mask)
+        foes = np.flatnonzero(~mask)
+        if friends.size == 0 or foes.size == 0:
+            continue
+        sub = D[np.ix_(foes, friends)]
+        best = foes[np.argmin(sub, axis=0)]
+        en_ind[friends] = best
+        en_dist[friends] = D[best, friends]
+    return en_dist, en_ind
+
+
+def hypersphere_radii(ne_dist: np.ndarray, ne_ind: np.ndarray) -> np.ndarray:
+    """Radius per instance of the T1 hypersphere cover, iterative
+    version of the reference's recursion
+    (/root/reference/pymfe/complexity.py:2166-2199): mutual enemies get
+    half their distance; otherwise r_i = |d_i - r_enemy|, with an
+    in-progress sentinel of 0.0 breaking enemy cycles exactly like the
+    recursive formulation (iterative so a 4096-turn chain cannot
+    overflow the Python stack)."""
+    n = ne_ind.size
+    radius = np.full(n, -1.0)
+    pending = np.zeros(n, dtype=bool)
+    for start in range(n):
+        if radius[start] >= 0.0:
+            continue
+        stack = [start]
+        while stack:
+            i = stack[-1]
+            if pending[i]:
+                # enemy radius now available (or a cycle sentinel 0.0)
+                radius[i] = abs(ne_dist[i] - radius[ne_ind[i]])
+                pending[i] = False
+                stack.pop()
+                continue
+            if radius[i] >= 0.0:
+                stack.pop()
+                continue
+            e = ne_ind[i]
+            if ne_ind[e] == i:
+                radius[i] = radius[e] = 0.5 * ne_dist[i]
+                stack.pop()
+                continue
+            pending[i] = True
+            radius[i] = 0.0  # cycle sentinel, mirrors the reference
+            if radius[e] < 0.0:
+                stack.append(e)
+    return radius
+
+
+def same_class_knn_adjacency(D: np.ndarray, cls_inds: np.ndarray,
+                             radius_frac: float = 0.15) -> np.ndarray:
+    """Symmetric weighted adjacency of the same-class k-NN graph
+    (/root/reference/pymfe/complexity.py:498-551
+    _build_adjacency_graph): k = round(n * radius_frac) nearest
+    neighbors per instance (distance weights, no self), cross-class
+    edges dropped, symmetrized with element-wise max."""
+    n = D.shape[0]
+    k = int(round(n * radius_frac)) if 0 < radius_frac < 1.0 else int(radius_frac)
+    k = max(k, 1)
+    k = min(k, n - 1)
+    adj = np.zeros((n, n))
+    Dx = D.copy()
+    np.fill_diagonal(Dx, np.inf)
+    order = np.argsort(Dx, axis=1, kind="stable")[:, :k]
+    rows = np.repeat(np.arange(n), k)
+    cols = order.ravel()
+    adj[rows, cols] = D[rows, cols]
+    for mask in cls_inds:
+        adj[np.ix_(mask, ~mask)] = 0.0
+    return np.maximum(adj, adj.T)
+
+
+def graph_density(adj: np.ndarray) -> float:
+    """Edge count / possible edges of the undirected simple graph whose
+    edges are the nonzero adjacency entries (igraph Graph.density)."""
+    n = adj.shape[0]
+    if n < 2:
+        return float("nan")
+    edges = int(np.count_nonzero(np.triu(adj, k=1)))
+    return edges / (n * (n - 1) / 2.0)
+
+
+def graph_transitivity(adj: np.ndarray) -> float:
+    """Global clustering coefficient 3*triangles/triples of the
+    unweighted graph, 0 when no connected triples exist (igraph
+    transitivity_undirected(mode="zero"))."""
+    A = (adj > 0).astype(float)
+    np.fill_diagonal(A, 0.0)
+    closed = float(np.trace(A @ A @ A))  # 6 * triangles
+    deg = A.sum(axis=1)
+    triples = float((deg * (deg - 1.0)).sum())  # 2 * connected triples
+    if triples <= 0:
+        return 0.0
+    return closed / triples
+
+
+def graph_hub_scores(adj: np.ndarray) -> np.ndarray:
+    """Kleinberg hub scores: principal eigenvector of W·Wᵀ (= of W for
+    symmetric W), non-negative, normalized to max 1 (igraph
+    hub_score)."""
+    if adj.size == 0 or not np.any(adj):
+        return np.zeros(adj.shape[0])
+    vals, vecs = np.linalg.eigh(adj)
+    v = np.abs(vecs[:, int(np.argmax(np.abs(vals)))])
+    mx = v.max()
+    return v / mx if mx > 0 else v
