@@ -124,8 +124,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     n_turns = turns(spark, sf_dir).count()
 
-    # warm-up: JIT/codegen + parquet footer caches out of the timings
+    # warm-up: JIT/codegen, parquet footer caches AND the Python worker
+    # pool (fork + numpy/pandas import per core — ~8 s once per JVM,
+    # long-lived in any real deployment) out of the timings; the
+    # backfill/scaling section below already measures steady state the
+    # same way (untimed first pass)
     _materialize(catalog["mf_stat_central"].fn(spark, sf_dir))
+    _materialize(catalog["mfe_extract_core"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

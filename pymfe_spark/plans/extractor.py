@@ -9,10 +9,21 @@ mandate).
 
 Physical plan:
     scan -> derive turn features (single conv window)
-         -> hash exchange on conv_id (AQE-coalesced)
+         -> RANGE exchange on conv_id
          -> sort within partitions (turn_idx)
          -> Arrow kernel (numpy measure registry + summary sigma)
          -> long rows (conv_id, mtf_name, mtf_val)
+
+Why a range exchange: the upstream lag-window already hash-clusters by
+conv_id, so an explicit hash repartition is pruned as redundant and the
+kernel inherits the window's ENSURE_REQUIREMENTS exchange — which AQE
+coalesces by *bytes* (~64 MB targets). Byte-sized partitions serialize
+the Python kernel, whose cost is CPU per conversation, not bytes
+(measured: 2 surviving partitions -> 7.7 s; 32 range partitions ->
+2.4 s at sf0.1 local[32]). RangePartitioning is never satisfied by the
+window's hash clustering, so the exchange survives with its explicit
+partition count, and contiguous conv_id ranges minimize the kernel's
+cross-chunk carry-over.
 
 Scale levers (100 TB design):
 - a conversation is the atomic work unit; partition count follows
@@ -54,16 +65,20 @@ HEAVY_GROUPS = {"clustering", "concept", "complexity"}  # O(n^2) kernels
 OUT_SCHEMA = "conv_id string, mtf_name string, mtf_val double"
 
 
-def _equal_freq_bins(v: np.ndarray) -> np.ndarray:
-    """Equal-frequency discretization into floor(n^(1/3)) bins via
-    quantile cuts + digitize (/root/reference/pymfe/_internal.py:
-    1550-1624)."""
+def _equal_freq_bins(v: np.ndarray, tol: float = 1e-8) -> np.ndarray:
+    """Equal-frequency discretization into floor(n^(1/3)) bins,
+    reference-exact (/root/reference/pymfe/_internal.py:1550-1624):
+    divider set = quantiles at linspace(0,1,k+1)[1:] (the top quantile
+    included), near-duplicate dividers dropped (tol), then
+    digitize(right=True)."""
     n = v.size
     k = max(int(np.floor(n ** (1.0 / 3.0) + 1e-9)), 1)
     if k <= 1:
         return np.zeros(n, dtype=np.int64)
-    cuts = np.quantile(v, np.arange(1, k) / k)
-    return np.digitize(v, cuts)
+    divs = np.quantile(v, np.linspace(0, 1, k + 1)[1:])
+    divs = divs[np.append(True, np.diff(divs) > tol)]
+    divs = np.unique(divs)
+    return np.digitize(v, divs, right=True)
 
 
 VALID_RESCALE = ("standard", "min-max", "robust")
@@ -109,7 +124,7 @@ def build_batch(
     tool0 = pdf["tool"].fillna("NONE").to_numpy(dtype=object)
     len_bin = _equal_freq_bins(text_len).astype(object)
     C = np.column_stack([role, tool0, len_bin])
-    return ConvBatch(N=N, C=C, y=role)
+    return ConvBatch(N=N, C=C, y=role, orig_cat=2)
 
 
 def extract_batch(
@@ -162,7 +177,7 @@ def _batch_from_arrays(
     N = rescale_numeric(np.column_stack([text_len, ts_delta, turn_idx]), rescale)
     len_bin = _equal_freq_bins(text_len).astype(object)
     C = np.column_stack([role, tool, len_bin])
-    return ConvBatch(N=N, C=C, y=role)
+    return ConvBatch(N=N, C=C, y=role, orig_cat=2)
 
 
 def _measure_rows(
@@ -330,7 +345,7 @@ class MFESpark:
         n_part = spark.sparkContext.defaultParallelism
         return (
             turns_df.select(*cols)
-            .repartition(n_part, "conv_id")
+            .repartitionByRange(n_part, "conv_id")
             .sortWithinPartitions("conv_id", "turn_idx")
             .mapInPandas(kernel, schema=OUT_SCHEMA)
         )
@@ -353,7 +368,7 @@ class MFESpark:
         n_part = spark.sparkContext.defaultParallelism
         return (
             turns_df.select(*cols)
-            .repartition(n_part, "conv_id")
+            .repartitionByRange(n_part, "conv_id")
             .groupBy("conv_id")
             .applyInPandas(kernel, schema=OUT_SCHEMA)
         )
@@ -441,7 +456,7 @@ def _confidence_methods(cls):
         n_part = spark.sparkContext.defaultParallelism
         return (
             turns_df.select(*cols)
-            .repartition(n_part, "conv_id")
+            .repartitionByRange(n_part, "conv_id")
             .sortWithinPartitions("conv_id", "turn_idx")
             .groupBy("conv_id")
             .applyInPandas(

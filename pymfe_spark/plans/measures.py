@@ -54,6 +54,12 @@ class ConvBatch:
     C: np.ndarray  # (n, d_cat) object
     y: np.ndarray  # (n,) object
     _cache: dict = field(default_factory=dict)
+    # leading C columns that are ORIGINAL attributes (the rest are
+    # derived discretizations, like the reference's transform_num
+    # output, which belongs to the C view but not to X); None = all.
+    # Measures defined over X (e.g. sparsity, statistical.py:1368-1408)
+    # read N plus only these columns.
+    orig_cat: int | None = None
 
     # --- shared precomputations (computed once, reused) ---
 
@@ -152,17 +158,19 @@ def _col_ent(col: np.ndarray) -> float:
     return _entropy(cnt, base=2)
 
 
-def _conc(a: np.ndarray, b: np.ndarray) -> float:
-    """Goodman-Kruskal tau concentration coefficient of a -> b
-    (info_theory.py:198-213)."""
-    pij = _crosstab_probs(a, b)
-    pi = pij.sum(axis=1)
-    pj = pij.sum(axis=0)
-    denom = 1.0 - (pj**2).sum()
+def _conc(a: np.ndarray, b: np.ndarray, eps: float = 1.0e-8) -> float:
+    """Goodman-Kruskal tau concentration coefficient of a -> b,
+    reference-exact (info_theory.py:198-213): eps added to every cell
+    of the normalized crosstab (rows = a, cols = b), numerator divides
+    by the b-marginals and subtracts the squared a-marginals."""
+    pij = _crosstab_probs(a, b) + eps
+    isum = pij.sum(axis=0)
+    jsum2 = float((pij.sum(axis=1) ** 2).sum())
+    denom = 1.0 - jsum2
     if denom == 0:
         return float("nan")
     with np.errstate(invalid="ignore", divide="ignore"):
-        num = (pij**2 / pi[:, None]).sum() - (pj**2).sum()
+        num = float((pij**2 / isum).sum()) - jsum2
     return float(num / denom)
 
 
@@ -189,7 +197,13 @@ def _can_cors(N: np.ndarray, y: np.ndarray, reg: float = 1e-10) -> np.ndarray:
     M = inv_sqrt(Sxx) @ Sxy @ inv_sqrt(Syy)
     s = np.linalg.svd(M, compute_uv=False)
     k = min(classes.size, N.shape[1])
-    return np.clip(s[:k], 0.0, 1.0)
+    s = s[:k]
+    # trim rank-deficient components (one-hot Y has rank k-1): the
+    # reference's CCA while-loop stops at the first zero-variance
+    # transformed column (statistical.py:246-257); the eigen route
+    # surfaces those as ~reg-level singular values
+    s = s[s > 1.0e-8]
+    return np.clip(s, 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------
@@ -342,14 +356,16 @@ measure("kurtosis", "statistical")(_per_col(_kurt_m3))  # 681-738
 
 @measure("sparsity", "statistical")
 def _sparsity(b: ConvBatch) -> np.ndarray:
-    """(n/d - 1)/(n - 1) per column over ALL attributes
-    (statistical.py:1368-1408 operates on X)."""
+    """(n/d - 1)/(n - 1) per ORIGINAL attribute — statistical.py:
+    1368-1408 operates on X, so derived discretized columns (reference:
+    transform_num output; engine: len_bin) are excluded."""
     n = b.N.shape[0]
+    n_cat = b.C.shape[1] if b.orig_cat is None else b.orig_cat
     vals = []
     for j in range(b.N.shape[1]):
         d = np.unique(b.N[:, j]).size
         vals.append((n / d - 1.0) / (n - 1.0) if n > 1 else np.nan)
-    for j in range(b.C.shape[1]):
+    for j in range(n_cat):
         d = np.unique(b.C[:, j]).size
         vals.append((n / d - 1.0) / (n - 1.0) if n > 1 else np.nan)
     return np.array(vals)

@@ -59,16 +59,27 @@ def test_asof_union_plan_has_single_sort_exchange(spark):
 
 
 def test_extractor_python_stage_parallelism_pinned(spark):
-    """The mapInPandas stage must sit behind an explicit user
-    repartition (exempt from AQE coalescing)."""
+    """The mapInPandas stage must sit behind an explicit RANGE
+    repartition. A hash repartition is pruned as redundant against the
+    upstream lag-window's hash clustering, leaving only the window's
+    ENSURE_REQUIREMENTS exchange — which AQE coalesces by bytes,
+    serializing the CPU-bound Python kernel onto ~2 partitions. Range
+    partitioning is never satisfied by hash clustering, so the explicit
+    partition count survives."""
     plan = plan_of(spark, "mfe_extract_core")
     assert "MapInPandas" in plan
     m = re.search(
-        r"hashpartitioning\(conv_id#\d+, (\d+)\), REPARTITION_BY_", plan
+        r"rangepartitioning\(conv_id#\d+ ASC NULLS FIRST, (\d+)\), "
+        r"REPARTITION_BY_NUM",
+        plan,
     )
-    assert m, "no explicit user repartition before the kernel"
+    assert m, "no explicit range repartition before the kernel"
     n = int(m.group(1))
     assert n == spark.sparkContext.defaultParallelism
+    # the pruned-hash hazard must not reappear
+    assert not re.search(
+        r"hashpartitioning\(conv_id#\d+, \d+\), REPARTITION_BY_", plan
+    )
 
 
 def test_filter_pushdown_to_parquet(spark):
