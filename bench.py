@@ -157,18 +157,23 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     }
 
 
-REPLICATE_SCALING = 10
-SCALING_PAIRS = ((2, 8), (8, 32))
+# per-pair input replication: the job's serial JVM overhead (~4 s:
+# plan/codegen, range sampling, small stages) must be small relative to
+# per-core kernel work or the high-core level measures overhead, not
+# scaling. 1M turns suffice at 2->8; 8->32 needs 4M (measured: 1M ->
+# 0.47 "efficiency" that is really amortization; 4M -> ~0.7; the trend
+# with input size IS the cluster-scale story).
+SCALING_PAIRS = ((2, 8, 10), (8, 32, 40))
 
 
 def run_scaling(sf_dir: str) -> None:
     """Same backfill job at two N -> 4N parallelism pairs on the same
     (replicated) input; efficiency = (T_N / T_4N) / 4 per pair."""
-    cpu_levels = sorted({c for pair in SCALING_PAIRS for c in pair})
-    results: dict[int, dict] = {}
+    levels = sorted({(c, rep) for n, n4, rep in SCALING_PAIRS for c in (n, n4)})
+    results: dict[tuple[int, int], dict] = {}
     # two interleaved rounds per level, keep the per-level best — host
     # noise hits a contiguous window, not a specific level
-    for cpus in list(cpu_levels) + list(reversed(cpu_levels)):
+    for cpus, rep in list(levels) + list(reversed(levels)):
         out = subprocess.run(
             [
                 sys.executable,
@@ -176,7 +181,7 @@ def run_scaling(sf_dir: str) -> None:
                 "--backfill-only",
                 sf_dir,
                 str(cpus),
-                str(REPLICATE_SCALING),
+                str(rep),
             ],
             capture_output=True,
             text=True,
@@ -184,28 +189,29 @@ def run_scaling(sf_dir: str) -> None:
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         res = json.loads(line)
-        if cpus not in results or res["backfill_sec"] < results[cpus]["backfill_sec"]:
-            results[cpus] = res
-    report = {
-        "sf": sf_dir,
-        "n_turns": results[cpu_levels[0]]["n_turns"],
-        "throughput_turns_per_sec": {
-            f"local[{c}]": results[c]["turns_per_sec"] for c in cpu_levels
-        },
-        "efficiency": {},
-    }
+        key = (cpus, rep)
+        if key not in results or res["backfill_sec"] < results[key]["backfill_sec"]:
+            results[key] = res
+    report = {"sf": sf_dir, "efficiency": {}, "throughput_turns_per_sec": {}}
     rows = []
-    for n, n4 in SCALING_PAIRS:
-        eff = (results[n]["backfill_sec"] / results[n4]["backfill_sec"]) / 4.0
+    for n, n4, rep in SCALING_PAIRS:
+        rn, r4 = results[(n, rep)], results[(n4, rep)]
+        eff = (rn["backfill_sec"] / r4["backfill_sec"]) / 4.0
         report["efficiency"][f"{n}->{n4}"] = round(eff, 3)
+        report["throughput_turns_per_sec"][f"local[{n}]@{rn['n_turns']}"] = rn[
+            "turns_per_sec"
+        ]
+        report["throughput_turns_per_sec"][f"local[{n4}]@{r4['n_turns']}"] = r4[
+            "turns_per_sec"
+        ]
         rows.append(
             "| {sf} | {nt} | {n}->{n4} | {tpn} | {tp4} | {eff:.3f} |".format(
                 sf=sf_dir,
-                nt=report["n_turns"],
+                nt=rn["n_turns"],
                 n=n,
                 n4=n4,
-                tpn=results[n]["turns_per_sec"],
-                tp4=results[n4]["turns_per_sec"],
+                tpn=rn["turns_per_sec"],
+                tp4=r4["turns_per_sec"],
                 eff=eff,
             )
         )

@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's parallelismFirst targets bytes/defaultParallelism but
+        # floors at minPartitionSize (1 MB default). Our window/agg
+        # shuffles carry few bytes yet real CPU per row, so the 1 MB
+        # floor coalesces them onto 1-2 threads. 64 KB keeps small
+        # shuffles spread across all cores; at cluster scale
+        # bytes/parallelism dominates and behavior is unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
