@@ -519,3 +519,99 @@ def extract_at_final_turn(
     wide = extractor.extract_wide(turns_df)
     final_ts = turns_df.groupBy("conv_id").agg(F.max("ts").alias("ts"))
     return wide.join(final_ts, "conv_id")
+
+
+# ---------------------------------------------------------------------
+# auxiliary classmethods (the reference's introspection API,
+# mfe.py:1816-2087) and the extract_from_model entry point
+# (mfe.py:1681-1814)
+# ---------------------------------------------------------------------
+
+
+def valid_groups() -> tuple[str, ...]:
+    """All measure-group names (valid_groups, mfe.py:1816; VALID_GROUPS
+    _internal.py:103-114) plus the 'relative' pseudo-group."""
+    all_groups()
+    return tuple(sorted(GROUPS)) + ("relative",)
+
+
+def valid_summary() -> tuple[str, ...]:
+    """All summary-function names (valid_summary, mfe.py:1829;
+    SUMMARY_METHODS _summary.py:447-482)."""
+    from pymfe_spark.functions.summary import SUMMARY_REGISTRY
+
+    return tuple(sorted(SUMMARY_REGISTRY))
+
+
+def valid_metafeatures(
+    groups: "tuple[str, ...] | None" = None,
+) -> tuple[str, ...]:
+    """Measure names, optionally restricted to groups
+    (valid_metafeatures, mfe.py:1862)."""
+    all_groups()
+    if groups is None:
+        return tuple(sorted(MEASURES))
+    unknown = set(groups) - set(GROUPS)
+    if unknown:
+        raise ValueError(f"unknown groups: {sorted(unknown)}")
+    return tuple(
+        sorted(n for n, d in MEASURES.items() if d.group in groups)
+    )
+
+
+def metafeature_description(
+    groups: "tuple[str, ...] | None" = None,
+) -> dict[str, tuple[str, str]]:
+    """name -> (group, first docstring line) — the docstring-parsing
+    catalog analogue (metafeature_description, mfe.py:1999)."""
+    out = {}
+    for name in valid_metafeatures(groups):
+        d = MEASURES[name]
+        doc = (d.fn.__doc__ or "").strip().split("\n")[0].strip()
+        out[name] = (d.group, doc)
+    return out
+
+
+def extract_from_model(
+    dt_model,
+    n_features: int | None = None,
+    summaries: tuple[str, ...] = DEFAULT_SUMMARIES,
+) -> dict[str, float]:
+    """Model-based meta-features from a pre-fitted tree, no data needed
+    (extract_from_model, mfe.py:1681-1814: injects the fitted model as
+    a custom fit argument over a dummy dataset).
+
+    ``dt_model`` is a fitted :class:`pymfe_spark.plans.ml.NumpyCART`;
+    ``n_features`` defaults to the tree's own split-feature count (the
+    reference's dummy-X route pins d from the injected data; here the
+    tree itself carries it). Driver-side by design — one model, no
+    distribution needed."""
+    all_groups()
+    if not getattr(dt_model, "feature", None):
+        raise ValueError("dt_model must be a fitted NumpyCART")
+    if n_features is None:
+        n_features = max((f for f in dt_model.feature if f >= 0), default=0) + 1
+        n_features = max(n_features, 1)
+    n = dt_model.n_node_samples[0]
+    dummy = ConvBatch(
+        N=np.zeros((n, n_features)),
+        C=np.zeros((n, 1), dtype=object),
+        y=np.zeros(n, dtype=object),
+    )
+    dummy._cache["dt_model"] = dt_model
+    rows: dict[str, float] = {}
+    for name in sorted(GROUPS["model-based"]):
+        try:
+            with np.errstate(all="ignore"), warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                val = MEASURES[name].fn(dummy)
+        except Exception:
+            val = float("nan")
+        rows.update(summarize(name, val, summaries))
+    return rows
+
+
+MFESpark.valid_groups = staticmethod(valid_groups)
+MFESpark.valid_summary = staticmethod(valid_summary)
+MFESpark.valid_metafeatures = staticmethod(valid_metafeatures)
+MFESpark.metafeature_description = staticmethod(metafeature_description)
