@@ -91,3 +91,137 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(_meta_batches, schema=META_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# resize + frame-sample plumbing (decode stubbed, batch shapes real)
+# ---------------------------------------------------------------------
+
+RESIZE_SCHEMA = (
+    "doc_id long, out_width int, out_height int, out_bytes long, "
+    "payload binary"
+)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize entry point — unavailable in this container
+    (no codecs). Callers fall back to :func:`fake_resize`."""
+    raise NotImplementedError(
+        "image codecs not installed; use fake_resize for plumbing tests"
+    )
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: output bytes = repeating prefix of the
+    input truncated/padded to width*height (stands in for the resized
+    raster's size contract)."""
+    target = max(width * height, 1)
+    reps = (target // max(len(payload), 1)) + 1
+    return (payload * reps)[:target]
+
+
+def _resize_batches(width: int, height: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(b) for b in pdf["payload"]]
+            try:
+                out = [resize_image(p, width, height) for p in payloads]
+            except NotImplementedError:
+                out = [fake_resize(p, width, height) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": width,
+                    "out_height": height,
+                    "out_bytes": [len(o) for o in out],
+                    "payload": out,
+                }
+            )
+
+    return gen
+
+
+@register("multimodal_resize", oracle=None, group=GROUP)
+def multimodal_resize(
+    spark: SparkSession, sf_dir: str, width: int = 64, height: int = 64
+) -> DataFrame:
+    """Binary payload -> resized binary via mapInPandas: the 1-in/1-out
+    transform shape (decode -> raster op -> re-encode at scale). Rows
+    only (binary output has no SQL twin); size contract asserted in
+    unit tests."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(_resize_batches(width, height), schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ms long, frame_sha string"
+)
+
+FRAME_STRIDE_MS = 1000
+
+
+def sample_frames(payload: bytes) -> "list[tuple[int, int, bytes]]":
+    """Real video frame sampler — unavailable here; callers fall back
+    to :func:`fake_sample_frames`."""
+    raise NotImplementedError(
+        "video codecs not installed; use fake_sample_frames"
+    )
+
+
+def fake_sample_frames(payload: bytes) -> "list[tuple[int, int, bytes]]":
+    """Deterministic stand-in: n_bytes % 7 + 1 frames at a fixed
+    stride, each 'frame' a byte slice of the payload."""
+    n_frames = len(payload) % 7 + 1
+    step = max(len(payload) // n_frames, 1)
+    return [
+        (i, i * FRAME_STRIDE_MS, payload[i * step : (i + 1) * step])
+        for i in range(n_frames)
+    ]
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, idxs, mss, shas = [], [], [], []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(b)
+            try:
+                frames = sample_frames(payload)
+            except NotImplementedError:
+                frames = fake_sample_frames(payload)
+            for i, ms, fb in frames:
+                ids.append(doc_id)
+                idxs.append(i)
+                mss.append(ms)
+                shas.append(hashlib.sha256(fb).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "frame_idx": idxs,
+                "frame_ms": mss,
+                "frame_sha": shas,
+            }
+        )
+
+
+_FRAME_ORACLE = f"""
+WITH d AS (SELECT doc_id, octet_length(text::BLOB) AS n FROM documents)
+SELECT doc_id,
+       cast(i.i AS int)                        AS frame_idx,
+       cast(i.i * {FRAME_STRIDE_MS} AS bigint) AS frame_ms
+FROM d, unnest(range(0, n % 7 + 1)) AS i(i)
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_ORACLE, group=GROUP)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> one row PER SAMPLED FRAME via mapInPandas: the
+    1-in/N-out exploding batch shape every video pipeline needs. The
+    frame count/timing schedule is oracle-checked (deterministic fake
+    sampler); frame content hashes are rows-only."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = d.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
+    return out.select("doc_id", "frame_idx", "frame_ms")

@@ -147,3 +147,31 @@ def test_ivf_topk_probes_only_two_lists(spark):
         labels.rename("nb_label"), left_on="neighbor_id", right_index=True
     )
     assert (probed.groupby("query_id")["nb_label"].nunique() <= IVF_NPROBE).all()
+
+
+def test_multimodal_resize_contract(spark):
+    """Resize keeps 1-in/1-out with the stubbed raster-size contract."""
+    from pymfe_spark.operators.multimodal import multimodal_resize
+
+    out = multimodal_resize(spark, SF_SMOKE, width=8, height=4).toPandas()
+    assert (out["out_bytes"] == 32).all()
+    assert (out["payload"].apply(len) == 32).all()
+    assert out["doc_id"].is_unique
+
+
+def test_multimodal_frame_sample_explodes(spark):
+    """Frame sampling is 1-in/N-out with the deterministic schedule."""
+    import pandas as pd
+
+    from pymfe_spark.operators.multimodal import (
+        FRAME_STRIDE_MS,
+        multimodal_frame_sample,
+    )
+
+    out = multimodal_frame_sample(spark, SF_SMOKE).toPandas()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    n_bytes = docs.set_index("doc_id")["text"].str.encode("utf-8").str.len()
+    counts = out.groupby("doc_id").size()
+    for doc_id, n in n_bytes.items():
+        assert counts[doc_id] == n % 7 + 1, doc_id
+    assert (out["frame_ms"] == out["frame_idx"] * FRAME_STRIDE_MS).all()

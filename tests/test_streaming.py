@@ -50,3 +50,53 @@ def test_streaming_sessions_match_batch(spark):
     assert stream_pdf.to_dict() == batch_pdf.to_dict(), (
         "streaming session_window disagrees with batch sessionization"
     )
+
+
+def test_stateful_incremental_features_match_batch(spark):
+    """applyInPandasWithState over multiple micro-batches must equal a
+    one-shot batch aggregation: the state merge is the partial-
+    aggregate combine (streaming/stateful.py)."""
+    import math
+    import shutil
+
+    from pymfe_spark.streaming.stateful import streaming_incremental_features
+
+    src = "/tmp/stateful_in"
+    ckpt = "/tmp/stateful_ckpt"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # several files -> maxFilesPerTrigger=1 forces several micro-batches
+    transcripts(spark, SF_SMOKE).repartition(4).write.parquet(src)
+
+    out = streaming_incremental_features(spark, src, max_files_per_trigger=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_stream")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    updates = spark.table("stateful_stream").toPandas()
+    # update mode appends one row per (conv, micro-batch); the final
+    # state is the row with the max n_turns per conv
+    final = updates.sort_values("n_turns").groupby("conv_id").last()
+
+    batch = (
+        transcripts(spark, SF_SMOKE)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.avg(F.length("text")).alias("mean_len"),
+            F.stddev_samp(F.length("text")).alias("sd_len"),
+        )
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert len(final) == len(batch)
+    for conv, row in batch.iterrows():
+        got = final.loc[conv]
+        assert got["n_turns"] == row["n_turns"], conv
+        assert math.isclose(got["mean_len"], row["mean_len"], rel_tol=1e-9)
+        assert math.isclose(got["sd_len"], row["sd_len"], rel_tol=1e-6)
