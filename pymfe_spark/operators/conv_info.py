@@ -204,10 +204,15 @@ def mf_info_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = transcripts(spark, sf_dir).select(
         "conv_id", "role", F.coalesce("tool", F.lit("NONE")).alias("tool0")
     )
+    # ONE scan/shuffle of the transcript derivation: every marginal
+    # (role counts, tool counts, dims) folds from the joint counts, so
+    # all four downstream aggregations sit on the identical jc exchange
+    # and the physical plan reuses it (ReusedExchange) instead of
+    # re-running the transcript window per branch.
     jc = t2.groupBy("conv_id", "role", "tool0").agg(F.count("*").alias("c"))
-    dims = t2.groupBy("conv_id").agg(
+    dims = jc.groupBy("conv_id").agg(
         (F.count_distinct("role") * F.count_distinct("tool0")).alias("cells"),
-        F.count("*").alias("n"),
+        F.sum("c").alias("n"),
     )
     eps = F.lit(_EPS)
     z = F.lit(1.0) + F.col("cells") * eps
@@ -226,10 +231,10 @@ def mf_info_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hr = _entropy_from_counts(
-        t2.groupBy("conv_id", "role").agg(F.count("*").alias("c"))
+        jc.groupBy("conv_id", "role").agg(F.sum("c").alias("c"))
     ).withColumnRenamed("ent", "hr")
     ht = _entropy_from_counts(
-        t2.groupBy("conv_id", "tool0").agg(F.count("*").alias("c"))
+        jc.groupBy("conv_id", "tool0").agg(F.sum("c").alias("c"))
     ).withColumnRenamed("ent", "ht")
     mi = F.col("hr") + F.col("ht") - F.col("joint_ent")
     return (

@@ -132,17 +132,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join — shuffle on the shingle, never a cross join; hot
     shingles would be dropped by a frequency cap at 100 TB (df > 0.1%
     carries no dedup signal)."""
+    from pyspark.sql.window import Window
+
     sh = shingle_table(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
+    # shingle-set size rides along via a window BEFORE the self-join:
+    # both join sides become the identical subtree (one shuffle of the
+    # shingle table, physically reused) and no post-join size lookups —
+    # previously the shingle derivation ran once per branch (a, b, and
+    # two size joins = 4 scans).
+    shn = sh.select(
+        "doc_id", "s", F.count("*").over(Window.partitionBy("doc_id")).alias("n")
+    )
+    a, b = shn.alias("a"), shn.alias("b")
+    return (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
         .select(
             "doc_a",
             "doc_b",
