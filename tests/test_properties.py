@@ -1,0 +1,162 @@
+"""Property-based tests (hypothesis) for the pure-numpy layers.
+
+The reference suite has no property tests (SURVEY.md §5); these pin
+the algebraic invariants the distributed engine depends on — summary
+sigma semantics, the Welford state merge used by both streaming state
+and skew partial aggregation, discretization and concentration
+invariants — on adversarial inputs, not just goldens.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from pymfe_spark.functions.summary import SUMMARY_REGISTRY, summarize
+from pymfe_spark.plans.extractor import _equal_freq_bins, rescale_numeric
+from pymfe_spark.plans.measures import _conc
+from pymfe_spark.streaming.stateful import _merge_welford
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+vec = arrays(np.float64, st.integers(2, 60), elements=finite)
+
+
+@given(vec)
+@settings(max_examples=80, deadline=None)
+def test_summary_moments_match_numpy(v):
+    """mean/sd/var/median/min/max/range/sum/count == the numpy
+    definitions the reference binds (_summary.py:447-482)."""
+    assert SUMMARY_REGISTRY["mean"](v) == pytest_approx(np.mean(v))
+    assert SUMMARY_REGISTRY["sd"](v) == pytest_approx(np.std(v, ddof=1))
+    assert SUMMARY_REGISTRY["var"](v) == pytest_approx(np.var(v, ddof=1))
+    assert SUMMARY_REGISTRY["median"](v) == pytest_approx(np.median(v))
+    assert SUMMARY_REGISTRY["min"](v) == np.min(v)
+    assert SUMMARY_REGISTRY["max"](v) == np.max(v)
+    assert SUMMARY_REGISTRY["range"](v) == pytest_approx(np.ptp(v))
+    assert SUMMARY_REGISTRY["sum"](v) == pytest_approx(np.sum(v), rel=1e-9)
+    assert SUMMARY_REGISTRY["count"](v) == v.size
+
+
+def pytest_approx(x, rel=1e-9):
+    import pytest
+
+    return pytest.approx(x, rel=rel, abs=1e-9)
+
+
+@given(vec)
+@settings(max_examples=50, deadline=None)
+def test_summary_histogram_and_quantiles(v):
+    """histogram: 10 normalized equal-width bins (_summary.py:26-59);
+    quantiles: linear interpolation at (0,.25,.5,.75,1)
+    (_summary.py:62-143); pnorm^2 == powersum (p=2)."""
+    h = SUMMARY_REGISTRY["histogram"](v)
+    assert h.shape == (10,)
+    assert math.isclose(h.sum(), 1.0, rel_tol=1e-9)
+    q = SUMMARY_REGISTRY["quantiles"](v)
+    np.testing.assert_allclose(
+        q, np.quantile(v, (0, 0.25, 0.5, 0.75, 1.0)), rtol=1e-12, atol=1e-9
+    )
+    ps = SUMMARY_REGISTRY["powersum"](v)
+    pn = SUMMARY_REGISTRY["pnorm"](v)
+    assert math.isclose(pn * pn, ps, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(vec, st.floats(min_value=0.05, max_value=0.95))
+@settings(max_examples=50, deadline=None)
+def test_nan_variants_ignore_nans(v, frac):
+    """nan* == plain sigma over the nan-stripped vector
+    (_summary.py:20-23,128-143)."""
+    w = v.copy()
+    k = max(1, int(frac * v.size))
+    if v.size - k < 2:
+        k = v.size - 2
+    if k < 1:
+        return
+    w[:k] = np.nan
+    clean = w[~np.isnan(w)]
+    for name in ("mean", "sd", "median", "sum", "iq_range"):
+        got = SUMMARY_REGISTRY[f"nan{name}"](w)
+        exp = SUMMARY_REGISTRY[name](clean)
+        if math.isnan(exp):
+            assert math.isnan(got)
+        else:
+            assert math.isclose(got, exp, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(
+    arrays(np.float64, st.integers(1, 200), elements=finite),
+    st.integers(1, 6),
+)
+@settings(max_examples=60, deadline=None)
+def test_welford_merge_any_split(v, pieces):
+    """Merging per-chunk (n, mean, M2) in any contiguous split equals
+    the whole-vector moments — the invariant that makes streaming state
+    == batch partial aggregation (streaming/stateful.py,
+    operators/skew.py)."""
+    cuts = np.linspace(0, v.size, pieces + 1).astype(int)
+    n, mean, m2 = 0, 0.0, 0.0
+    for s, e in zip(cuts[:-1], cuts[1:]):
+        chunk = v[s:e]
+        if chunk.size == 0:
+            continue
+        bmean = float(chunk.mean())
+        bm2 = float(((chunk - bmean) ** 2).sum())
+        n, mean, m2 = _merge_welford(n, mean, m2, chunk.size, bmean, bm2)
+    assert n == v.size
+    assert math.isclose(mean, float(v.mean()), rel_tol=1e-9, abs_tol=1e-6)
+    assert math.isclose(
+        m2, float(((v - v.mean()) ** 2).sum()), rel_tol=1e-6, abs_tol=1e-4
+    )
+
+
+@given(arrays(np.float64, st.integers(2, 300), elements=finite))
+@settings(max_examples=60, deadline=None)
+def test_equal_freq_bins_invariants(v):
+    """Bin ids are monotone in the value, bounded by floor(n^(1/3)),
+    and identical values share a bin (_internal.py:1550-1624)."""
+    bins = _equal_freq_bins(v)
+    k = max(int(np.floor(v.size ** (1.0 / 3.0) + 1e-9)), 1)
+    assert bins.min() >= 0 and bins.max() <= k
+    order = np.argsort(v, kind="stable")
+    assert (np.diff(bins[order]) >= 0).all()
+    for val in np.unique(v)[:5]:
+        assert np.unique(bins[v == val]).size == 1
+
+
+@given(arrays(np.float64, st.integers(2, 100), elements=finite))
+@settings(max_examples=40, deadline=None)
+def test_rescale_properties(v):
+    """min-max is idempotent; standard recenters; robust is
+    median-centered (sklearn scaler semantics)."""
+    N = np.column_stack([v, v * 2 + 1])
+    M = rescale_numeric(N, "min-max")
+    np.testing.assert_allclose(rescale_numeric(M, "min-max"), M, atol=1e-9)
+    S = rescale_numeric(N, "standard")
+    # atol reflects float64 cancellation at the 1e6 input magnitudes
+    np.testing.assert_allclose(S.mean(axis=0), 0.0, atol=1e-5)
+    R = rescale_numeric(N, "robust")
+    np.testing.assert_allclose(np.median(R, axis=0), 0.0, atol=1e-9)
+
+
+@given(
+    arrays(np.int64, st.integers(4, 80), elements=st.integers(0, 4)),
+    arrays(np.int64, st.integers(4, 80), elements=st.integers(0, 3)),
+)
+@settings(max_examples=60, deadline=None)
+def test_concentration_bounds_and_identity(a, b):
+    """tau(a -> b) in [~0-eps, 1]; tau(x -> x) == 1 when x varies
+    (info_theory.py:198-213)."""
+    m = min(a.size, b.size)
+    a, b = a[:m].astype(object), b[:m].astype(object)
+    if np.unique(b).size < 2:
+        return
+    c = _conc(a, b)
+    assert -1e-4 <= c <= 1.0 + 1e-9
+    if np.unique(a).size >= 2:
+        assert _conc(a, a) == pytest_approx(1.0, rel=1e-6)
