@@ -139,11 +139,43 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_lsh_topk", oracle=None, group=GROUP)
+_LSH_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ planes AS (SELECT {{planes}} AS ps),
+ bucketed AS (
+   SELECT vec_id, v,
+          list_aggregate(
+            list_transform(range(1, {_N_PLANES + 1}),
+              j -> CASE WHEN list_inner_product(e.v, ps[j]) > 0
+                        THEN cast(pow(2, j - 1) AS bigint) ELSE 0 END),
+            'sum') AS bucket
+   FROM e, planes),
+ q AS (SELECT vec_id AS query_id, v AS qv, bucket
+       FROM bucketed WHERE vec_id < {N_QUERIES}),
+ sims AS (
+   SELECT q.query_id, b.vec_id AS neighbor_id,
+          list_cosine_similarity(q.qv, b.v) AS cos
+   FROM q JOIN bucketed b
+     ON q.bucket = b.bucket AND b.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cast(rk AS int) AS rk, round(cos, 4) AS cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM sims)
+WHERE rk <= 3
+"""
+
+
+@register(
+    "sim_lsh_topk",
+    oracle=_LSH_TOPK_ORACLE.format(planes=_planes_sql()),
+    group=GROUP,
+)
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors within each query's LSH bucket —
     the composed ANN path (bucket equi-join instead of cross join).
-    Rows-only check; recall vs brute force is asserted in unit tests."""
+    Deterministic hyperplanes let the DuckDB oracle replicate the
+    entire bucket -> scan -> topk pipeline; recall vs brute force is
+    asserted in unit tests."""
     e = _emb(spark, sf_dir)
     plane_cols = [F.array(*[F.lit(float(x)) for x in p]) for p in _PLANES]
     bucket = sum(
