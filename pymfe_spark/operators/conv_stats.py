@@ -321,8 +321,19 @@ FROM c JOIN o ON c.conv_id = o.conv_id
     + """,
  c AS (SELECT conv_id,
               corr(text_len, ts_delta_s)       AS cor,
-              covar_samp(text_len, ts_delta_s) AS cov
-       FROM turns GROUP BY conv_id),
+              -- exact-integer covariance: x and delta-us are integers,
+              -- so the three sums are exact; the float divisions then
+              -- run in the same order as the Spark side (bit-identical
+              -- at any scale, unlike covar_samp's engine-specific
+              -- updating accumulation)
+              (cast(sum(xl * yus) AS double)
+               - cast(sum(xl) * sum(yus) AS double) / count(*))
+              / nullif(count(*) - 1, 0) / 1e6    AS cov
+       FROM (SELECT conv_id, text_len, ts_delta_s,
+                    cast(text_len AS bigint) AS xl,
+                    cast(round(ts_delta_s * 1e6, 0) AS bigint) AS yus
+             FROM turns WHERE ts_delta_s IS NOT NULL) turns
+       GROUP BY conv_id),
  q AS (SELECT conv_id,
               quantile_cont(text_len, 0.25)   AS q1a,
               quantile_cont(text_len, 0.75)   AS q3a,
@@ -351,9 +362,28 @@ def mf_stat_bivar(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipped by corr/covar in both engines.
     """
     t = turns(spark, sf_dir)
-    c = t.groupBy("conv_id").agg(
+    tnn = t.filter(F.col("ts_delta_s").isNotNull()).select(
+        "conv_id",
+        F.col("text_len").cast("long").alias("xl"),
+        F.round(F.col("ts_delta_s") * 1e6, 0).cast("long").alias("yus"),
+        "ts_delta_s",
+        "text_len",
+    )
+    # cov from exact integer sums with the oracle's float-op order (see
+    # the oracle CTE comment); corr stays on the builtin — the
+    # normalization divides the accumulation noise out
+    n = F.count("*")
+    cov = (
+        (
+            F.sum(F.col("xl") * F.col("yus")).cast("double")
+            - (F.sum("xl") * F.sum("yus")).cast("double") / n
+        )
+        / F.nullif((n - 1).cast("double"), F.lit(0.0))
+        / 1e6
+    )
+    c = tnn.groupBy("conv_id").agg(
         F.corr("text_len", "ts_delta_s").alias("cor"),
-        F.covar_samp("text_len", "ts_delta_s").alias("cov"),
+        cov.alias("cov"),
     )
     q = t.groupBy("conv_id").agg(
         F.percentile("text_len", 0.25).alias("q1a"),

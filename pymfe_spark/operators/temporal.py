@@ -126,12 +126,12 @@ SELECT conv_id, cast(session_id AS int) AS session_id,
        count(*)                                    AS n_turns,
        round(cast(epoch_us(max(ts)) - epoch_us(min(ts)) AS double) / 1e6, 6)
                                                    AS duration_s,
-       round(avg(CASE WHEN ts_delta_s <= {gap} THEN ts_delta_s END), 6)
-                                                   AS mean_gap_s,
+       round(floor(cast(epoch_us(max(ts)) - epoch_us(min(ts)) AS double)
+                   / nullif(count(*) - 1, 0)) / 1e6, 6) AS mean_gap_s,
        round(avg(text_len), 6)                     AS mean_len
 FROM sess
 GROUP BY conv_id, session_id
-""".format(gap=SESSION_GAP_S),
+""",
     extra_ctes=_SESSION_TURNS_SQL,
 )
 
@@ -139,23 +139,32 @@ GROUP BY conv_id, session_id
 @register("session_stats", oracle=_SESSION_STATS_ORACLE, group=GROUP)
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session aggregates: turn count, wall duration, mean in-session
-    gap, mean text length."""
+    gap, mean text length.
+
+    mean_gap_s uses the identity sum(in-session gaps) == max(us)-min(us)
+    (every delta inside a session is <= the gap threshold by
+    construction) and truncates the mean to whole microseconds: an odd
+    span over 2 gaps lands EXACTLY on the 6th-decimal rounding boundary
+    (x.xxxxxx5), where Spark rounds HALF_UP and DuckDB half-even —
+    avg() over fractional seconds additionally drifted by summation
+    order at sf0.1. floor over identical integer microseconds is
+    bit-identical at any scale.
+    """
     s = sessionized(spark, sf_dir)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = (F.max("us") - F.min("us")).cast("double")
     return (
         s.withColumn("us", us)
         .groupBy("conv_id", "session_id")
         .agg(
             F.count("*").alias("n_turns"),
-            r(((F.max("us") - F.min("us")).cast("double") / 1e6)).alias(
-                "duration_s"
-            ),
+            r(span / 1e6).alias("duration_s"),
             r(
-                F.avg(
-                    F.when(
-                        F.col("ts_delta_s") <= SESSION_GAP_S, F.col("ts_delta_s")
-                    )
+                F.floor(
+                    span
+                    / F.nullif((F.count("*") - 1).cast("double"), F.lit(0.0))
                 )
+                / 1e6
             ).alias("mean_gap_s"),
             r(F.avg("text_len")).alias("mean_len"),
         )

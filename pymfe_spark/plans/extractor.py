@@ -93,7 +93,11 @@ def rescale_numeric(N: np.ndarray, option: str | None) -> np.ndarray:
         return N
     if option == "standard":
         mu, sd = N.mean(axis=0), N.std(axis=0)
-        return (N - mu) / np.where(sd > 0, sd, 1.0)
+        # constant-feature guard must be relative: a constant column's
+        # computed std is ~eps*|mean|, not exactly 0 (sklearn's
+        # _handle_zeros_in_scale makes the same near-zero check)
+        tiny = 10 * np.finfo(float).eps * np.maximum(np.abs(mu), 1.0)
+        return (N - mu) / np.where(sd > tiny, sd, 1.0)
     if option == "min-max":
         mn = N.min(axis=0)
         rng = N.max(axis=0) - mn
