@@ -563,6 +563,42 @@ def valid_metafeatures(
     )
 
 
+# descriptions for measures registered as plain lambdas (reference
+# file:line in plans/measures.py alongside each registration)
+_LAMBDA_DESCRIPTIONS = {
+    "nr_inst": "Number of instances (turns).",
+    "nr_attr": "Total number of attributes (numeric + categorical views).",
+    "nr_num": "Number of numeric attributes.",
+    "nr_cat": "Number of categorical attributes.",
+    "attr_to_inst": "Attributes per instance (d / n).",
+    "inst_to_attr": "Instances per attribute (n / d).",
+    "cat_to_num": "Categorical-to-numeric attribute ratio.",
+    "num_to_cat": "Numeric-to-categorical attribute ratio.",
+    "nr_class": "Number of distinct target classes.",
+    "mean": "Per-column arithmetic mean.",
+    "median": "Per-column median.",
+    "min": "Per-column minimum.",
+    "max": "Per-column maximum.",
+    "range": "Per-column range (max - min).",
+    "sd": "Per-column sample standard deviation (ddof=1).",
+    "var": "Per-column sample variance (ddof=1).",
+    "iq_range": "Per-column interquartile range.",
+    "mad": "Per-column median absolute deviation (x1.4826).",
+    "skewness": "Per-column skewness (e1071 method 3).",
+    "kurtosis": "Per-column kurtosis (e1071 method 3).",
+    "class_ent": "Shannon entropy of the target (base 2).",
+    "leaves": "Number of leaves of the fitted decision tree.",
+    "nodes": "Number of non-leaf nodes of the fitted decision tree.",
+    "can_cor": "Canonical correlations between N and one-hot target.",
+    "nr_disc": "Number of canonical discriminant dimensions.",
+    "p_trace": "Pillai's trace (sum of squared canonical correlations).",
+    "lh_trace": "Lawley-Hotelling trace (sum of can-cor eigenvalues).",
+    "roy_root": "Roy's largest root (largest can-cor eigenvalue).",
+    "nodes_per_attr": "Non-leaf tree nodes per attribute.",
+    "nodes_per_inst": "Non-leaf tree nodes per instance.",
+}
+
+
 def metafeature_description(
     groups: "tuple[str, ...] | None" = None,
 ) -> dict[str, tuple[str, str]]:
@@ -572,7 +608,7 @@ def metafeature_description(
     for name in valid_metafeatures(groups):
         d = MEASURES[name]
         doc = (d.fn.__doc__ or "").strip().split("\n")[0].strip()
-        out[name] = (d.group, doc)
+        out[name] = (d.group, doc or _LAMBDA_DESCRIPTIONS.get(name, ""))
     return out
 
 
