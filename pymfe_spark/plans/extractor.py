@@ -655,3 +655,124 @@ MFESpark.valid_groups = staticmethod(valid_groups)
 MFESpark.valid_summary = staticmethod(valid_summary)
 MFESpark.valid_metafeatures = staticmethod(valid_metafeatures)
 MFESpark.metafeature_description = staticmethod(metafeature_description)
+
+
+def _expanding_rows(
+    pdf: pd.DataFrame,
+    measure_names: tuple,
+    summaries: tuple,
+    cap: int,
+    stride: int,
+    min_turns: int,
+    rescale: str | None,
+):
+    """Yield ONE long frame of per-turn PIT vectors for a chunk of
+    whole conversations (sorted by conv_id, turn_idx)."""
+    conv = pdf["conv_id"].to_numpy()
+    text_len = pdf["text_len"].to_numpy(dtype=float)
+    ts_delta = np.nan_to_num(pdf["ts_delta_s"].to_numpy(dtype=float), nan=0.0)
+    turn_idx = pdf["turn_idx"].to_numpy(dtype=float)
+    role = pdf["role"].to_numpy(dtype=object)
+    tool = pdf["tool"].to_numpy(dtype=object)
+    tool = np.where(pd.isna(tool), "NONE", tool)
+    bounds = np.flatnonzero(np.concatenate(([True], conv[1:] != conv[:-1])))
+    bounds = np.append(bounds, len(conv))
+    out_conv, out_turn, out_name, out_val = [], [], [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        n = e - s
+        ends = list(range(min_turns, n, stride))
+        if not ends or ends[-1] != n:
+            ends.append(n)
+        for end in ends:
+            arrays = (
+                text_len[s : s + end],
+                ts_delta[s : s + end],
+                turn_idx[s : s + end],
+                role[s : s + end],
+                tool[s : s + end],
+            )
+            batch = _batch_from_arrays(*arrays, rescale=rescale)
+            rows = _measure_rows(
+                batch, arrays, measure_names, summaries, cap, rescale
+            )
+            names = sorted(rows)
+            t_at = int(turn_idx[s + end - 1])
+            out_conv.extend([conv[s]] * len(names))
+            out_turn.extend([t_at] * len(names))
+            out_name.extend(names)
+            out_val.extend(rows[nm] for nm in names)
+    yield pd.DataFrame(
+        {
+            "conv_id": out_conv,
+            "turn_idx": out_turn,
+            "mtf_name": out_name,
+            "mtf_val": out_val,
+        }
+    )
+
+
+PIT_SCHEMA = "conv_id string, turn_idx int, mtf_name string, mtf_val double"
+
+
+def _expanding_methods(cls):
+    def extract_expanding(
+        self,
+        turns_df: DataFrame,
+        stride: int = 1,
+        min_turns: int = 2,
+    ) -> DataFrame:
+        """Per-turn point-in-time extraction (SURVEY.md §7 M5, the
+        north star's '(conv_id, ts) feature vector' unit): at each
+        turn-prefix end (every ``stride``-th turn from ``min_turns``,
+        plus the final turn) the FULL measure vector is recomputed over
+        exactly the turns with turn_idx <= t — zero temporal leakage by
+        slice construction, verified by the prefix-equality test.
+
+        Physical plan is extract()'s (range exchange -> sorted
+        mapInPandas); the kernel loops prefixes inside the conversation
+        slice, so cost scales with n/stride recomputations per conv —
+        ``stride`` is the reference-style sampling knob for the O(n²)
+        total (heavy groups additionally honor max_kernel_turns per
+        prefix)."""
+        measure_names = self.measure_names
+        summaries = self.summaries
+        cap = self.max_kernel_turns
+        rescale = self.rescale
+
+        def kernel(batches: "Iterable[pd.DataFrame]"):
+            leftover: pd.DataFrame | None = None
+            for pdf in batches:
+                if leftover is not None:
+                    pdf = pd.concat([leftover, pdf], ignore_index=True)
+                    leftover = None
+                conv = pdf["conv_id"].to_numpy()
+                cut = int(np.searchsorted(conv, conv[-1], side="left"))
+                if cut == 0:
+                    leftover = pdf
+                    continue
+                leftover = pdf.iloc[cut:].reset_index(drop=True)
+                yield from _expanding_rows(
+                    pdf.iloc[:cut], measure_names, summaries, cap,
+                    stride, min_turns, rescale,
+                )
+            if leftover is not None and len(leftover):
+                yield from _expanding_rows(
+                    leftover, measure_names, summaries, cap,
+                    stride, min_turns, rescale,
+                )
+
+        cols = ["conv_id", "turn_idx", "role", "tool", "text_len", "ts_delta_s"]
+        spark = turns_df.sparkSession
+        n_part = spark.sparkContext.defaultParallelism
+        return (
+            turns_df.select(*cols)
+            .repartitionByRange(n_part, "conv_id")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .mapInPandas(kernel, schema=PIT_SCHEMA)
+        )
+
+    cls.extract_expanding = extract_expanding
+    return cls
+
+
+_expanding_methods(MFESpark)

@@ -142,3 +142,14 @@ def mfe_kernel_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pick("mean.mean"), 6).alias("mean_mean"),
         F.round(pick("sd.mean"), 6).alias("sd_mean"),
     )
+
+
+@register("mfe_extract_expanding", oracle=None, group=GROUP)
+def mfe_extract_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn point-in-time extraction of the general group (stride 8
+    keeps the gate's runtime bounded; stride 1 = every turn): the
+    feature vector at (conv_id, turn_idx=t) reads only turns <= t.
+    Rows-only; the prefix-equality leakage test is the correctness
+    evidence (tests/test_plans.py)."""
+    ex = MFESpark(groups=("general",))
+    return ex.extract_expanding(turns(spark, sf_dir), stride=8)

@@ -9,7 +9,9 @@ import contextlib
 import io
 import re
 
+import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from pymfe_spark.plans.catalog import load_catalog
 from tests.conftest import SF_SMOKE
@@ -89,3 +91,40 @@ def test_filter_pushdown_to_parquet(spark):
     ).select("doc_id")
     plan = explain_str(df)
     assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]" in plan
+
+
+def test_expanding_extraction_zero_leakage(spark):
+    """Arrow-tier PIT invariant (SURVEY.md §5.4): the vector
+    extract_expanding emits at turn t equals extract() run on the
+    input truncated to turn_idx <= t — i.e. no feature reads the
+    future."""
+    from pymfe_spark.operators.base import turns
+    from pymfe_spark.plans.extractor import MFESpark
+
+    ex = MFESpark(groups=("general", "statistical"))
+    t = turns(spark, SF_SMOKE)
+    pit = ex.extract_expanding(t, stride=5).toPandas()
+    # probe three (conv, t) points incl. a final turn
+    probes = (
+        pit[["conv_id", "turn_idx"]]
+        .drop_duplicates()
+        .groupby("conv_id")
+        .nth([1, -1])
+        .reset_index()
+    ).head(6)
+    for _, row in probes.iterrows():
+        trunc = t.filter(
+            (F.col("conv_id") == row.conv_id)
+            & (F.col("turn_idx") <= int(row.turn_idx))
+        )
+        full = ex.extract(trunc).toPandas().set_index("mtf_name")["mtf_val"]
+        got = (
+            pit[(pit.conv_id == row.conv_id) & (pit.turn_idx == row.turn_idx)]
+            .set_index("mtf_name")["mtf_val"]
+        )
+        assert set(got.index) == set(full.index)
+        for name in full.index:
+            a, b = got[name], full[name]
+            assert (np.isnan(a) and np.isnan(b)) or a == b, (
+                row.conv_id, row.turn_idx, name, a, b,
+            )
