@@ -52,10 +52,23 @@ def _cv_scores(b: ConvBatch, fit_predict) -> np.ndarray:
     """Per-fold accuracy vector (the reference's per-fold score shape —
     landmarking measures return k values, summarized downstream)."""
     scores = []
-    for tr, te in stratified_kfold(b.y, N_FOLDS):
-        pred = fit_predict(b.N[tr], b.y[tr], b.N[te], tr)
+    for i, (tr, te) in enumerate(stratified_kfold(b.y, N_FOLDS)):
+        pred = fit_predict(b.N[tr], b.y[tr], b.N[te], i)
         scores.append(accuracy(b.y[te], pred))
     return np.array(scores)
+
+
+def _fold_importances(b: ConvBatch) -> list:
+    """Per-fold full-CART feature importances computed ONCE and shared
+    by worst_node and elite_nn — the reference's cv_folds_imp_rank
+    precompute (landmarking.py:160-195); previously each measure refit
+    the full tree per fold (2x10 fits -> 10)."""
+    if "cv_fold_imp" not in b._cache:
+        b._cache["cv_fold_imp"] = [
+            feature_importance_full_dt(b.N[tr], b.y[tr])
+            for tr, _ in stratified_kfold(b.y, N_FOLDS)
+        ]
+    return b._cache["cv_fold_imp"]
 
 
 @measure("best_node", "landmarking", needs_y=True)
@@ -64,7 +77,7 @@ def _best_node(b: ConvBatch) -> np.ndarray:
     (landmarking.py:293-394)."""
     return _cv_scores(
         b,
-        lambda Xtr, ytr, Xte, tr: NumpyCART(max_depth=1)
+        lambda Xtr, ytr, Xte, fold_i: NumpyCART(max_depth=1)
         .fit(Xtr, ytr)
         .predict(Xte),
     )
@@ -75,7 +88,7 @@ def _random_node(b: ConvBatch) -> np.ndarray:
     """Depth-1 DT on one seeded-random feature (landmarking.py:397-504)."""
     rng = np.random.RandomState(SEED)
 
-    def fp(Xtr, ytr, Xte, tr):
+    def fp(Xtr, ytr, Xte, fold_i):
         f = int(rng.randint(0, Xtr.shape[1]))
         return (
             NumpyCART(max_depth=1)
@@ -90,9 +103,10 @@ def _random_node(b: ConvBatch) -> np.ndarray:
 def _worst_node(b: ConvBatch) -> np.ndarray:
     """Depth-1 DT on the least-important feature per training fold
     (landmarking.py:504-624; importance precompute 239-290)."""
+    imps = _fold_importances(b)
 
-    def fp(Xtr, ytr, Xte, tr):
-        f = int(np.argmin(feature_importance_full_dt(Xtr, ytr)))
+    def fp(Xtr, ytr, Xte, fold_i):
+        f = int(np.argmin(imps[fold_i]))
         return (
             NumpyCART(max_depth=1)
             .fit(Xtr[:, [f]], ytr)
@@ -105,9 +119,10 @@ def _worst_node(b: ConvBatch) -> np.ndarray:
 @measure("elite_nn", "landmarking", needs_y=True)
 def _elite_nn(b: ConvBatch) -> np.ndarray:
     """1-NN on the most-important feature (landmarking.py:933-1050)."""
+    imps = _fold_importances(b)
 
-    def fp(Xtr, ytr, Xte, tr):
-        f = int(np.argmax(feature_importance_full_dt(Xtr, ytr)))
+    def fp(Xtr, ytr, Xte, fold_i):
+        f = int(np.argmax(imps[fold_i]))
         return one_nn_fit_predict(Xtr[:, [f]], ytr, Xte[:, [f]])
 
     return _cv_scores(b, fp)
@@ -116,20 +131,20 @@ def _elite_nn(b: ConvBatch) -> np.ndarray:
 @measure("linear_discr", "landmarking", needs_y=True)
 def _linear_discr(b: ConvBatch) -> np.ndarray:
     """LDA landmarker (landmarking.py:625-726)."""
-    return _cv_scores(b, lambda Xtr, ytr, Xte, tr: lda_fit_predict(Xtr, ytr, Xte))
+    return _cv_scores(b, lambda Xtr, ytr, Xte, fold_i: lda_fit_predict(Xtr, ytr, Xte))
 
 
 @measure("naive_bayes", "landmarking", needs_y=True)
 def _naive_bayes(b: ConvBatch) -> np.ndarray:
     """Gaussian NB landmarker (landmarking.py:727-828)."""
-    return _cv_scores(b, lambda Xtr, ytr, Xte, tr: gnb_fit_predict(Xtr, ytr, Xte))
+    return _cv_scores(b, lambda Xtr, ytr, Xte, fold_i: gnb_fit_predict(Xtr, ytr, Xte))
 
 
 @measure("one_nn", "landmarking", needs_y=True)
 def _one_nn(b: ConvBatch) -> np.ndarray:
     """1-NN landmarker (landmarking.py:829-932)."""
     return _cv_scores(
-        b, lambda Xtr, ytr, Xte, tr: one_nn_fit_predict(Xtr, ytr, Xte)
+        b, lambda Xtr, ytr, Xte, fold_i: one_nn_fit_predict(Xtr, ytr, Xte)
     )
 
 
