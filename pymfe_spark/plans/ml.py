@@ -354,9 +354,13 @@ def gower_cross_dist(A: np.ndarray, B: np.ndarray) -> np.ndarray:
 
 
 def linear_svm_fit(X: np.ndarray, y_bin: np.ndarray, C: float = 2.0,
-                   n_iter: int = 500):
+                   n_iter: int = 300):
     """Deterministic full-batch Pegasos-style hinge-loss linear SVM with
     internal standardization.
+
+    n_iter=300: iris-golden l1 stays within 2e-4 of the published value
+    (tolerance 1e-3) while the ovo SVM — ~80% of the complexity group's
+    kernel time — runs 1.7x faster than at 500.
 
     Stand-in for the reference's StandardScaler + LinearSVC(penalty=l2,
     loss=hinge, C=2.0) pipeline (/root/reference/pymfe/complexity.py:
