@@ -128,3 +128,29 @@ def test_expanding_extraction_zero_leakage(spark):
             assert (np.isnan(a) and np.isnan(b)) or a == b, (
                 row.conv_id, row.turn_idx, name, a, b,
             )
+
+
+def test_extraction_input_layout_independent(spark):
+    """Extraction results are identical when the input arrives
+    round-robin-scrambled across a different partition count — the
+    kernel's own range exchange + sort must fully determine layout
+    (partition-order independence, the distributed-determinism
+    invariant)."""
+    import pandas as pd
+
+    from pymfe_spark.operators.base import turns
+    from pymfe_spark.plans.extractor import MFESpark
+
+    ex = MFESpark(groups=("general", "info-theory"))
+    t = turns(spark, SF_SMOKE)
+
+    def norm(df):
+        return (
+            df.toPandas()
+            .sort_values(["conv_id", "mtf_name"])
+            .reset_index(drop=True)
+        )
+
+    base = norm(ex.extract(t))
+    scrambled = norm(ex.extract(t.repartition(7)))  # round-robin scramble
+    pd.testing.assert_frame_equal(base, scrambled)
