@@ -37,9 +37,9 @@ BENCH_QUERIES = (
     "session_stats",
     "expanding_pit",
     "asof_snapshot",
-    "mfe_extract_core",
+    "zz_mfe_extract_core",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "zz_dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "text_quality",
 )
@@ -130,7 +130,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # backfill/scaling section below already measures steady state the
     # same way (untimed first pass)
     _materialize(catalog["mf_stat_central"].fn(spark, sf_dir))
-    _materialize(catalog["mfe_extract_core"].fn(spark, sf_dir))
+    _materialize(catalog["zz_mfe_extract_core"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -325,9 +325,11 @@ FROM c JOIN o ON c.conv_id = o.conv_id
               -- so the three sums are exact; the float divisions then
               -- run in the same order as the Spark side (bit-identical
               -- at any scale, unlike covar_samp's engine-specific
-              -- updating accumulation)
-              (cast(sum(xl * yus) AS double)
-               - cast(sum(xl) * sum(yus) AS double) / count(*))
+              -- updating accumulation). HUGEINT accumulation: a
+              -- months-scale gap times a long turn overflows int64;
+              -- Spark mirrors with decimal(38,0)
+              (cast(sum(xl::HUGEINT * yus) AS double)
+               - cast(sum(xl)::HUGEINT * sum(yus) AS double) / count(*))
               / nullif(count(*) - 1, 0) / 1e6    AS cov
        FROM (SELECT conv_id, text_len, ts_delta_s,
                     cast(text_len AS bigint) AS xl,
@@ -371,12 +373,18 @@ def mf_stat_bivar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cov from exact integer sums with the oracle's float-op order (see
     # the oracle CTE comment); corr stays on the builtin — the
-    # normalization divides the accumulation noise out
+    # normalization divides the accumulation noise out. The products
+    # and their sums accumulate as decimal(38,0) (oracle: HUGEINT):
+    # int64 wraps silently in non-ANSI Spark while DuckDB's checked
+    # multiply errors, so exactness would otherwise break on
+    # months-scale gaps x long turns.
     n = F.count("*")
+    dec = "decimal(38,0)"
+    prod = F.col("xl").cast("decimal(19,0)") * F.col("yus").cast("decimal(19,0)")
     cov = (
         (
-            F.sum(F.col("xl") * F.col("yus")).cast("double")
-            - (F.sum("xl") * F.sum("yus")).cast("double") / n
+            F.sum(prod).cast("double")
+            - (F.sum("xl").cast(dec) * F.sum("yus").cast(dec)).cast("double") / n
         )
         / F.nullif((n - 1).cast("double"), F.lit(0.0))
         / 1e6

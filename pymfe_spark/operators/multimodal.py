@@ -114,10 +114,12 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in: output bytes = repeating prefix of the
     input truncated/padded to width*height (stands in for the resized
-    raster's size contract)."""
+    raster's size contract). An empty payload pads with a constant byte
+    so the width*height output-size contract holds for every input."""
     target = max(width * height, 1)
-    reps = (target // max(len(payload), 1)) + 1
-    return (payload * reps)[:target]
+    src = payload or b"\x00"
+    reps = (target // len(src)) + 1
+    return (src * reps)[:target]
 
 
 def _resize_batches(width: int, height: int):

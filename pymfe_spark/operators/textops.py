@@ -152,10 +152,13 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FP_ORACLE = f"""
 SELECT doc_id,
-       list_aggregate(
+       -- cast: DuckDB's list sum widens to HUGEINT; the value fits and
+       -- equals Spark's BIGINT, but the driver's value-hash is
+       -- type-sensitive, so pin the output type to BIGINT explicitly
+       cast(list_aggregate(
          list_transform(range(1, length(text) + 1),
                         i -> ascii(text[i])::BIGINT * ({_FPW_SQL})[((i - 1) % 8) + 1]),
-         'sum') % {_P} AS fingerprint
+         'sum') % {_P} AS BIGINT) AS fingerprint
 FROM documents
 """
 

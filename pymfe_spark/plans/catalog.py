@@ -54,10 +54,18 @@ _OPERATOR_MODULES = (
 
 
 def register(name: str, oracle: str | None = None, group: str = "misc"):
-    """Decorator: add a query to the catalog."""
+    """Decorator: add a query to the catalog.
+
+    Queries WITHOUT a DuckDB oracle are registered under a ``zz_``
+    prefix: the driver's correctness gate records at most 50 queries in
+    name order, so oracle-backed queries (the hard signal) must sort
+    before rows-only ones — round 1 silently dropped four oracle-backed
+    queries past the cap (VERDICT.md "What's wrong" #4).
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
-        CATALOG[name] = QueryEntry(name=name, fn=fn, oracle=oracle, group=group)
+        key = name if oracle is not None else f"zz_{name}"
+        CATALOG[key] = QueryEntry(name=key, fn=fn, oracle=oracle, group=group)
         return fn
 
     return deco

@@ -39,7 +39,8 @@ TRANSCRIPT_SCHEMA = (
 
 STATE_SCHEMA = StructType(
     [
-        StructField("n", LongType()),
+        StructField("n_turns", LongType()),  # all rows (count(*))
+        StructField("n", LongType()),  # non-null text rows (length stats)
         StructField("mean", DoubleType()),
         StructField("m2", DoubleType()),
         StructField("role_json", StringType()),
@@ -78,23 +79,26 @@ def _update_conv(
 ) -> Iterator[pd.DataFrame]:
     (conv_id,) = key
     if state.exists:
-        n, mean, m2, role_json = state.get
+        n_turns, n, mean, m2, role_json = state.get
         roles: dict[str, int] = json.loads(role_json)
     else:
-        n, mean, m2, roles = 0, 0.0, 0.0, {}
+        n_turns, n, mean, m2, roles = 0, 0, 0.0, 0.0, {}
 
     for pdf in pdfs:
-        lens = pdf["text"].astype(str).str.len().to_numpy(dtype=float)
+        n_turns += len(pdf)
+        # null text is SKIPPED by the batch twin's avg(length(text));
+        # astype(str) would count it as the 4-char literal "None"
+        lens = pdf["text"].dropna().str.len().to_numpy(dtype=float)
+        for r, c in pdf["role"].value_counts().items():
+            roles[r] = roles.get(r, 0) + int(c)
         bn = int(lens.size)
         if bn == 0:
             continue
         bmean = float(lens.mean())
         bm2 = float(((lens - bmean) ** 2).sum())
         n, mean, m2 = _merge_welford(n, mean, m2, bn, bmean, bm2)
-        for r, c in pdf["role"].value_counts().items():
-            roles[r] = roles.get(r, 0) + int(c)
 
-    state.update((n, mean, m2, json.dumps(roles, sort_keys=True)))
+    state.update((n_turns, n, mean, m2, json.dumps(roles, sort_keys=True)))
 
     total = sum(roles.values())
     ent = -sum(
@@ -104,8 +108,8 @@ def _update_conv(
     yield pd.DataFrame(
         {
             "conv_id": [conv_id],
-            "n_turns": [n],
-            "mean_len": [mean],
+            "n_turns": [n_turns],
+            "mean_len": [mean if n else float("nan")],
             "sd_len": [sd],
             "role_ent": [ent],
         }

