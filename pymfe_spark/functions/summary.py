@@ -40,17 +40,19 @@ def _var(v: np.ndarray) -> float:
     return float(np.var(v, ddof=1)) if v.size > 1 else float("nan")
 
 
-def _histogram(v: np.ndarray) -> np.ndarray:
+def _histogram(v: np.ndarray, bins: int = 10) -> np.ndarray:
     if v.size == 0:
-        return np.full(10, np.nan)
-    counts, _ = np.histogram(v, bins=10)
+        return np.full(bins, np.nan)
+    counts, _ = np.histogram(v, bins=bins)
     return counts / v.size
 
 
-def _quantiles(v: np.ndarray) -> np.ndarray:
+def _quantiles(
+    v: np.ndarray, package: tuple = (0.0, 0.25, 0.5, 0.75, 1.0)
+) -> np.ndarray:
     if v.size == 0:
-        return np.full(5, np.nan)
-    return np.quantile(v, (0.0, 0.25, 0.5, 0.75, 1.0))
+        return np.full(len(package), np.nan)
+    return np.quantile(v, package)
 
 
 def _skewness_m3(v: np.ndarray) -> float:
@@ -101,8 +103,10 @@ def _base_registry() -> dict[str, SummaryFn]:
         "range": lambda v: float(np.ptp(v)) if v.size else float("nan"),
         "skewness": _skewness_m3,
         "sum": lambda v: float(np.sum(v)) if v.size else float("nan"),
-        "powersum": lambda v: float(np.sum(v**2)) if v.size else float("nan"),
-        "pnorm": lambda v: float(np.sqrt(np.sum(v**2))) if v.size else float("nan"),
+        "powersum": lambda v, p=2: float(np.sum(v**p)) if v.size else float("nan"),
+        "pnorm": lambda v, p=2: (
+            float(np.sum(np.abs(v) ** p) ** (1.0 / p)) if v.size else float("nan")
+        ),
     }
 
 
@@ -116,9 +120,9 @@ def build_summary_registry() -> dict[str, SummaryFn]:
 
 
 def _wrap(fn: SummaryFn, drop_nan: bool) -> SummaryFn:
-    def wrapped(values: np.ndarray):
+    def wrapped(values: np.ndarray, **kw):
         try:
-            return fn(_clean(values, drop_nan))
+            return fn(_clean(values, drop_nan), **kw)
         except Exception:
             return float("nan")
 
@@ -133,16 +137,27 @@ def summarize(
     name: str,
     values: "float | np.ndarray",
     summaries: tuple[str, ...] = DEFAULT_SUMMARIES,
+    summary_kwargs: "dict[str, dict] | None" = None,
 ) -> dict[str, float]:
     """Apply summaries to a measure result, producing the reference's
     ``feature.summary[.i]`` naming. Scalars pass through unsummarized
-    (/root/reference/pymfe/mfe.py:571-594)."""
+    (/root/reference/pymfe/mfe.py:571-594).
+
+    ``summary_kwargs`` routes per-summary arguments — the engine
+    analogue of the reference's ``{mtd_name: {arg: val}}`` kwargs
+    pass-through (mfe.py:1208-1218, build_mtd_kwargs
+    _internal.py:624-708): ``p`` for powersum/pnorm
+    (_summary.py:356-428), ``package`` (quantile list) for quantiles
+    (_summary.py:62-143), ``bins`` for histogram. A nan-variant
+    inherits its base summary's kwargs."""
     arr = np.atleast_1d(np.asarray(values, dtype=float))
     if arr.size == 1 and np.ndim(values) == 0:
         return {name: float(arr[0])}
+    skw = summary_kwargs or {}
     out: dict[str, float] = {}
     for s in summaries:
-        res = SUMMARY_REGISTRY[s](arr)
+        kw = skw.get(s, skw.get(s.removeprefix("nan"), {}))
+        res = SUMMARY_REGISTRY[s](arr, **kw)
         if np.ndim(res) == 0:
             out[f"{name}.{s}"] = float(res)
         else:

@@ -36,12 +36,27 @@ Scale levers (100 TB design):
   info_theory.py:219-263, normality 5000-row cap statistical.py:970).
   Prefix (not random) slice keeps point-in-time semantics.
 - measure failure -> NaN, never task failure (_internal.py:568-621).
+
+Fit-time knobs mirroring the reference fit()/extract() surface
+(mfe.py:904-919, 1179-1230):
+- ``transform_cat`` (gray / one-hot / one-hot-full, default None): the
+  N view gains encoded categorical columns (plans/encode.py).
+- ``rescale`` (standard / min-max / robust).
+- ``lm_sample_frac`` / ``num_cv_folds`` / ``score``: landmarking CV
+  configuration (landmarking.py:57-102,198-236; scoring.py:6-28).
+- ``measure_time`` (avg / avg_summ / total / total_summ): per-measure
+  wall time emitted as an ``mtf_time`` column (mfe.py:145-181,
+  _internal.py:1458-1480).
+- ``summary_kwargs`` / ``measure_kwargs``: per-callable kwargs routing
+  (mfe.py:1208-1218, build_mtd_kwargs _internal.py:624-708).
 """
 
 from __future__ import annotations
 
+import time as _time
 import warnings
 from collections.abc import Iterable
+from dataclasses import dataclass, replace
 
 import numpy as np
 import pandas as pd
@@ -50,6 +65,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pymfe_spark.functions.summary import DEFAULT_SUMMARIES, summarize
+from pymfe_spark.plans.encode import VALID_TRANSFORM_CAT, transform_cat
 from pymfe_spark.plans.measures import GROUPS, MEASURES, ConvBatch, all_groups
 
 # module-level so deserialized kernels on executors see the full
@@ -63,22 +79,14 @@ from pymfe_spark.plans.postprocess import (  # noqa: E402
 HEAVY_GROUPS = {"clustering", "concept", "complexity"}  # O(n^2) kernels
 
 OUT_SCHEMA = "conv_id string, mtf_name string, mtf_val double"
+OUT_SCHEMA_TIMED = OUT_SCHEMA + ", mtf_time double"
+
+VALID_MEASURE_TIME = ("avg", "avg_summ", "total", "total_summ")
 
 
-def _equal_freq_bins(v: np.ndarray, tol: float = 1e-8) -> np.ndarray:
-    """Equal-frequency discretization into floor(n^(1/3)) bins,
-    reference-exact (/root/reference/pymfe/_internal.py:1550-1624):
-    divider set = quantiles at linspace(0,1,k+1)[1:] (the top quantile
-    included), near-duplicate dividers dropped (tol), then
-    digitize(right=True)."""
-    n = v.size
-    k = max(int(np.floor(n ** (1.0 / 3.0) + 1e-9)), 1)
-    if k <= 1:
-        return np.zeros(n, dtype=np.int64)
-    divs = np.quantile(v, np.linspace(0, 1, k + 1)[1:])
-    divs = divs[np.append(True, np.diff(divs) > tol)]
-    divs = np.unique(divs)
-    return np.digitize(v, divs, right=True)
+# equal-frequency discretization now lives beside the other type
+# bridges in plans.encode; alias kept for existing imports
+from pymfe_spark.plans.encode import equal_freq_bins as _equal_freq_bins  # noqa: E402
 
 
 VALID_RESCALE = ("standard", "min-max", "robust")
@@ -112,45 +120,111 @@ def rescale_numeric(N: np.ndarray, option: str | None) -> np.ndarray:
     )
 
 
+@dataclass(frozen=True)
+class KernelConfig:
+    """Everything the Arrow kernel needs beyond the measure list —
+    picklable, shipped once per closure to executors."""
+
+    summaries: tuple[str, ...] = DEFAULT_SUMMARIES
+    max_kernel_turns: int = 4096
+    rescale: str | None = None
+    transform_cat: str | None = None
+    lm_sample_frac: float = 1.0
+    num_cv_folds: int = 10
+    score: str = "accuracy"
+    seed: int = 42
+    measure_time: str | None = None
+    summary_kwargs: dict | None = None
+    measure_kwargs: dict | None = None
+
+    def batch_config(self) -> dict:
+        """The per-batch config dict config-sensitive kernels read
+        (ConvBatch.config)."""
+        cfg = {
+            "lm_sample_frac": self.lm_sample_frac,
+            "num_cv_folds": self.num_cv_folds,
+            "score": self.score,
+            "seed": self.seed,
+        }
+        if self.measure_kwargs:
+            cfg["measure_kwargs"] = self.measure_kwargs
+        return cfg
+
+
+def _batch_from_arrays(
+    text_len: np.ndarray,
+    ts_delta: np.ndarray,
+    turn_idx: np.ndarray,
+    role: np.ndarray,
+    tool: np.ndarray,
+    cfg: KernelConfig,
+) -> ConvBatch:
+    """Assemble the N / C / y views from one conversation's column
+    arrays — the _set_data_numeric/_set_data_categoric analogue
+    (mfe.py:740-902): N = [text_len, ts_delta, turn_idx] + optional
+    transform_cat encodings of (role, tool), then rescale (encode
+    BEFORE rescale, as the reference hstacks then rescales,
+    mfe.py:877-900); C = [role, tool, equal-freq len_bin]."""
+    N = np.column_stack([text_len, ts_delta, turn_idx])
+    enc = transform_cat(np.column_stack([role, tool]), cfg.transform_cat)
+    if enc is not None:
+        N = np.hstack([N, enc])
+    N = rescale_numeric(N, cfg.rescale)
+    len_bin = _equal_freq_bins(text_len).astype(object)
+    C = np.column_stack([role, tool, len_bin])
+    return ConvBatch(
+        N=N, C=C, y=role, orig_cat=2, orig_num=3, config=cfg.batch_config()
+    )
+
+
 def build_batch(
     pdf: pd.DataFrame,
     assume_sorted: bool = False,
-    rescale: str | None = None,
+    cfg: KernelConfig | None = None,
 ) -> ConvBatch:
-    """Assemble N / C / y views from one conversation's turns."""
+    """Assemble N / C / y views from one conversation's turns frame."""
+    cfg = cfg or KernelConfig()
     if not assume_sorted:
         pdf = pdf.sort_values("turn_idx")
-    text_len = pdf["text_len"].to_numpy(dtype=float)
-    ts_delta = pdf["ts_delta_s"].fillna(0.0).to_numpy(dtype=float)
-    turn_idx = pdf["turn_idx"].to_numpy(dtype=float)
-    N = rescale_numeric(np.column_stack([text_len, ts_delta, turn_idx]), rescale)
-    role = pdf["role"].to_numpy(dtype=object)
-    tool0 = pdf["tool"].fillna("NONE").to_numpy(dtype=object)
-    len_bin = _equal_freq_bins(text_len).astype(object)
-    C = np.column_stack([role, tool0, len_bin])
-    return ConvBatch(N=N, C=C, y=role, orig_cat=2)
+    return _batch_from_arrays(
+        pdf["text_len"].to_numpy(dtype=float),
+        pdf["ts_delta_s"].fillna(0.0).to_numpy(dtype=float),
+        pdf["turn_idx"].to_numpy(dtype=float),
+        pdf["role"].to_numpy(dtype=object),
+        pdf["tool"].fillna("NONE").to_numpy(dtype=object),
+        cfg,
+    )
 
 
-def extract_batch(
-    pdf: pd.DataFrame,
-    measure_names: Iterable[str],
-    summaries: tuple[str, ...],
-    max_kernel_turns: int,
-    assume_sorted: bool = False,
-    rescale: str | None = None,
-) -> pd.DataFrame:
-    """Run the selected measures over one conversation batch."""
-    conv_id = pdf["conv_id"].iloc[0]
-    batch = build_batch(pdf, assume_sorted=assume_sorted, rescale=rescale)
+def _measure_rows(
+    batch: ConvBatch,
+    pdf_slice: tuple,
+    measure_names: tuple[str, ...],
+    cfg: KernelConfig,
+) -> "tuple[dict[str, float], dict[str, float] | None]":
+    """All (name -> value) rows for one conversation batch, plus the
+    per-row time map when cfg.measure_time is set (mfe.py:145-181:
+    ``total`` = the measure call's wall time on every one of its output
+    rows; ``avg`` divides by the measure's raw cardinality — the size
+    of its un-summarized return; ``*_summ`` adds the summarization time
+    to the measure's FIRST output row only, others 0-padded, exactly
+    the reference's list-consistency rule)."""
     capped: ConvBatch | None = None
+    cap = cfg.max_kernel_turns
     rows: dict[str, float] = {}
+    times: dict[str, float] | None = (
+        {} if cfg.measure_time is not None else None
+    )
     for name in measure_names:
         mdef = MEASURES[name]
         b = batch
-        if mdef.group in HEAVY_GROUPS and batch.N.shape[0] > max_kernel_turns:
+        if mdef.group in HEAVY_GROUPS and batch.N.shape[0] > cap:
             if capped is None:
-                capped = build_batch(pdf.iloc[:max_kernel_turns], rescale=rescale)
+                capped = _batch_from_arrays(
+                    *(a[:cap] for a in pdf_slice), cfg=cfg
+                )
             b = capped
+        t0 = _time.perf_counter()
         try:
             # degenerate batches (single turn, constant columns) yield
             # NaN, not warnings/task failures (_internal.py:568-621)
@@ -159,7 +233,49 @@ def extract_batch(
                 val = mdef.fn(b)
         except Exception:
             val = float("nan")
-        rows.update(summarize(name, val, summaries))
+        t_measure = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        new = summarize(name, val, cfg.summaries, cfg.summary_kwargs)
+        t_summ = _time.perf_counter() - t0
+        rows.update(new)
+        if times is not None:
+            card = max(int(np.asarray(val).size), 1)
+            base = (
+                t_measure
+                if cfg.measure_time.startswith("total")
+                else t_measure / card
+            )
+            extra = t_summ if cfg.measure_time.endswith("_summ") else 0.0
+            for i, key in enumerate(sorted(new)):
+                times[key] = base + (extra if i == 0 else 0.0)
+    return rows, times
+
+
+def extract_batch(
+    pdf: pd.DataFrame,
+    measure_names: Iterable[str],
+    summaries: tuple[str, ...],
+    max_kernel_turns: int,
+    assume_sorted: bool = False,
+    cfg: KernelConfig | None = None,
+) -> pd.DataFrame:
+    """Run the selected measures over one conversation batch (the
+    applyInPandas-per-group kernel body)."""
+    cfg = cfg or KernelConfig(
+        summaries=tuple(summaries), max_kernel_turns=max_kernel_turns
+    )
+    conv_id = pdf["conv_id"].iloc[0]
+    if not assume_sorted:
+        pdf = pdf.sort_values("turn_idx")
+    arrays = (
+        pdf["text_len"].to_numpy(dtype=float),
+        pdf["ts_delta_s"].fillna(0.0).to_numpy(dtype=float),
+        pdf["turn_idx"].to_numpy(dtype=float),
+        pdf["role"].to_numpy(dtype=object),
+        pdf["tool"].fillna("NONE").to_numpy(dtype=object),
+    )
+    batch = _batch_from_arrays(*arrays, cfg=cfg)
+    rows, _ = _measure_rows(batch, arrays, tuple(measure_names), cfg)
     names = sorted(rows)  # deterministic output order (mfe.py:1340-1346)
     return pd.DataFrame(
         {
@@ -170,57 +286,11 @@ def extract_batch(
     )
 
 
-def _batch_from_arrays(
-    text_len: np.ndarray,
-    ts_delta: np.ndarray,
-    turn_idx: np.ndarray,
-    role: np.ndarray,
-    tool: np.ndarray,
-    rescale: str | None = None,
-) -> ConvBatch:
-    N = rescale_numeric(np.column_stack([text_len, ts_delta, turn_idx]), rescale)
-    len_bin = _equal_freq_bins(text_len).astype(object)
-    C = np.column_stack([role, tool, len_bin])
-    return ConvBatch(N=N, C=C, y=role, orig_cat=2)
-
-
-def _measure_rows(
-    batch: ConvBatch,
-    pdf_slice: tuple,
-    measure_names: tuple[str, ...],
-    summaries: tuple[str, ...],
-    cap: int,
-    rescale: str | None = None,
-) -> dict[str, float]:
-    """All (name -> value) rows for one conversation batch."""
-    capped: ConvBatch | None = None
-    rows: dict[str, float] = {}
-    for name in measure_names:
-        mdef = MEASURES[name]
-        b = batch
-        if mdef.group in HEAVY_GROUPS and batch.N.shape[0] > cap:
-            if capped is None:
-                capped = _batch_from_arrays(
-                    *(a[:cap] for a in pdf_slice), rescale=rescale
-                )
-            b = capped
-        try:
-            with np.errstate(all="ignore"), warnings.catch_warnings():
-                warnings.simplefilter("ignore", RuntimeWarning)
-                val = mdef.fn(b)
-        except Exception:
-            val = float("nan")
-        rows.update(summarize(name, val, summaries))
-    return rows
-
-
 def _extract_contiguous(
     pdf: pd.DataFrame,
     measure_names: tuple[str, ...],
-    summaries: tuple[str, ...],
-    cap: int,
+    cfg: KernelConfig,
     relative: bool = False,
-    rescale: str | None = None,
 ):
     """Yield ONE result frame for a chunk of whole conversations,
     contiguous and sorted by (conv_id, turn_idx). Column arrays are
@@ -235,24 +305,34 @@ def _extract_contiguous(
     tool = pdf["tool"].to_numpy(dtype=object)
     tool = np.where(pd.isna(tool), "NONE", tool)
 
+    timed = cfg.measure_time is not None
     bounds = np.flatnonzero(np.concatenate(([True], conv[1:] != conv[:-1])))
     bounds = np.append(bounds, len(conv))
     out_conv: list[str] = []
     out_name: list[str] = []
     out_val: list[float] = []
+    out_time: list[float] = []
     for s, e in zip(bounds[:-1], bounds[1:]):
         arrays = (text_len[s:e], ts_delta[s:e], turn_idx[s:e], role[s:e], tool[s:e])
-        batch = _batch_from_arrays(*arrays, rescale=rescale)
-        rows = _measure_rows(batch, arrays, measure_names, summaries, cap, rescale)
+        batch = _batch_from_arrays(*arrays, cfg=cfg)
+        rows, times = _measure_rows(batch, arrays, measure_names, cfg)
         if relative:
+            n_before = len(rows)
             rows = add_relative_landmarking(rows)
+            if times is not None:
+                for k in rows:
+                    times.setdefault(k, 0.0)  # postprocess rows: 0-pad
+            del n_before
         names = sorted(rows)
         out_conv.extend([conv[s]] * len(names))
         out_name.extend(names)
         out_val.extend(rows[n] for n in names)
-    yield pd.DataFrame(
-        {"conv_id": out_conv, "mtf_name": out_name, "mtf_val": out_val}
-    )
+        if timed:
+            out_time.extend(times[n] for n in names)
+    data = {"conv_id": out_conv, "mtf_name": out_name, "mtf_val": out_val}
+    if timed:
+        data["mtf_time"] = out_time
+    yield pd.DataFrame(data)
 
 
 class MFESpark:
@@ -263,7 +343,9 @@ class MFESpark:
 
     ``groups`` mirrors the reference's group selection (mfe.py:55-353 /
     VALID_GROUPS _internal.py:103-114); ``summaries`` the sigma set
-    (process_summary _internal.py:961-1034).
+    (process_summary _internal.py:961-1034); the remaining knobs map
+    1:1 onto the reference's fit()/extract() arguments (see module
+    docstring).
     """
 
     def __init__(
@@ -272,13 +354,35 @@ class MFESpark:
         summaries: tuple[str, ...] = DEFAULT_SUMMARIES,
         max_kernel_turns: int = 4096,
         rescale: str | None = None,
+        transform_cat: str | None = None,
+        lm_sample_frac: float = 1.0,
+        num_cv_folds: int = 10,
+        score: str = "accuracy",
+        seed: int = 42,
+        measure_time: str | None = None,
+        summary_kwargs: dict | None = None,
+        measure_kwargs: dict | None = None,
     ) -> None:
         if rescale is not None and rescale not in VALID_RESCALE:
             raise ValueError(
                 f"unknown rescale option {rescale!r}; "
                 f"choose one of {VALID_RESCALE}"
             )
-        self.rescale = rescale
+        if transform_cat is not None and transform_cat not in VALID_TRANSFORM_CAT:
+            raise ValueError(
+                f"unknown transform_cat option {transform_cat!r}; "
+                f"choose one of {VALID_TRANSFORM_CAT}"
+            )
+        if measure_time is not None and measure_time not in VALID_MEASURE_TIME:
+            raise ValueError(
+                f"unknown measure_time option {measure_time!r}; "
+                f"choose one of {VALID_MEASURE_TIME}"
+            )
+        if not 0.0 < lm_sample_frac <= 1.0:
+            raise ValueError("lm_sample_frac must be in (0, 1]")
+        from pymfe_spark.plans.ml import check_score
+
+        check_score(score)  # fail fast on unknown scorer
         if groups is None:
             groups = all_groups()
         else:
@@ -295,11 +399,38 @@ class MFESpark:
         if unknown:
             raise ValueError(f"unknown groups: {sorted(unknown)}")
         self.groups = tuple(groups)
-        self.summaries = tuple(summaries)
-        self.max_kernel_turns = max_kernel_turns
+        self.cfg = KernelConfig(
+            summaries=tuple(summaries),
+            max_kernel_turns=max_kernel_turns,
+            rescale=rescale,
+            transform_cat=transform_cat,
+            lm_sample_frac=lm_sample_frac,
+            num_cv_folds=num_cv_folds,
+            score=score,
+            seed=seed,
+            measure_time=measure_time,
+            summary_kwargs=summary_kwargs,
+            measure_kwargs=measure_kwargs,
+        )
         self.measure_names = tuple(
             name for g in self.groups for name in sorted(GROUPS[g])
         )
+
+    # convenience aliases (round-1 public attributes)
+    @property
+    def summaries(self) -> tuple[str, ...]:
+        return self.cfg.summaries
+
+    @property
+    def max_kernel_turns(self) -> int:
+        return self.cfg.max_kernel_turns
+
+    @property
+    def rescale(self) -> str | None:
+        return self.cfg.rescale
+
+    def _out_schema(self) -> str:
+        return OUT_SCHEMA_TIMED if self.cfg.measure_time else OUT_SCHEMA
 
     def extract(self, turns_df: DataFrame) -> DataFrame:
         """turns_df needs columns: conv_id, turn_idx, role, tool,
@@ -316,10 +447,8 @@ class MFESpark:
         overhead than groupBy().applyInPandas at ~70-turn convs).
         """
         measure_names = self.measure_names
-        summaries = self.summaries
-        cap = self.max_kernel_turns
+        cfg = self.cfg
         relative = self.relative
-        rescale = self.rescale
 
         def kernel(batches: "Iterable[pd.DataFrame]"):
             leftover: pd.DataFrame | None = None
@@ -337,11 +466,11 @@ class MFESpark:
                 leftover = pdf.iloc[cut:].reset_index(drop=True)
                 done = pdf.iloc[:cut]
                 yield from _extract_contiguous(
-                    done, measure_names, summaries, cap, relative, rescale
+                    done, measure_names, cfg, relative
                 )
             if leftover is not None and len(leftover):
                 yield from _extract_contiguous(
-                    leftover, measure_names, summaries, cap, relative, rescale
+                    leftover, measure_names, cfg, relative
                 )
 
         cols = ["conv_id", "turn_idx", "role", "tool", "text_len", "ts_delta_s"]
@@ -351,7 +480,7 @@ class MFESpark:
             turns_df.select(*cols)
             .repartitionByRange(n_part, "conv_id")
             .sortWithinPartitions("conv_id", "turn_idx")
-            .mapInPandas(kernel, schema=OUT_SCHEMA)
+            .mapInPandas(kernel, schema=self._out_schema())
         )
 
     def extract_grouped(self, turns_df: DataFrame) -> DataFrame:
@@ -360,12 +489,13 @@ class MFESpark:
         kept for A/B comparisons and as the skew-isolated path (a
         mega-conversation gets its own task here)."""
         measure_names = self.measure_names
-        summaries = self.summaries
-        cap = self.max_kernel_turns
-        rescale = self.rescale
+        cfg = replace(self.cfg, measure_time=None)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            return extract_batch(pdf, measure_names, summaries, cap, rescale=rescale)
+            return extract_batch(
+                pdf, measure_names, cfg.summaries, cfg.max_kernel_turns,
+                cfg=cfg,
+            )
 
         cols = ["conv_id", "turn_idx", "role", "tool", "text_len", "ts_delta_s"]
         spark = turns_df.sparkSession
@@ -413,13 +543,12 @@ def _confidence_methods(cls):
         parallel: the resample loop lives inside the per-conversation
         kernel, so the physical plan is identical to extract()."""
         measure_names = self.measure_names
-        summaries = self.summaries
-        cap = self.max_kernel_turns
-        rescale = self.rescale
+        cfg = replace(self.cfg, measure_time=None)
 
         def compute(arrays):
-            batch = _batch_from_arrays(*arrays, rescale=rescale)
-            return _measure_rows(batch, arrays, measure_names, summaries, cap, rescale)
+            batch = _batch_from_arrays(*arrays, cfg=cfg)
+            rows, _ = _measure_rows(batch, arrays, measure_names, cfg)
+            return rows
 
         def kernel(batches: "Iterable[pd.DataFrame]"):
             for pdf in batches:
@@ -489,10 +618,8 @@ def _confidence_methods(cls):
             _extract_contiguous(
                 pdf,
                 self.measure_names,
-                self.summaries,
-                self.max_kernel_turns,
+                replace(self.cfg, measure_time=None),
                 self.relative,
-                self.rescale,
             )
         )
         return sorted(out["mtf_name"].tolist())
@@ -518,10 +645,14 @@ def extract_at_final_turn(
     turns_df: DataFrame, extractor: MFESpark | None = None
 ) -> DataFrame:
     """Backfill row per (conv_id, ts=last turn): attach the conversation's
-    final ts to the wide vector (the north_star output unit)."""
+    final ts + turn count to the wide vector (the north_star output
+    unit; n_turns feeds the backfill lineage record without an extra
+    input scan)."""
     extractor = extractor or MFESpark()
     wide = extractor.extract_wide(turns_df)
-    final_ts = turns_df.groupBy("conv_id").agg(F.max("ts").alias("ts"))
+    final_ts = turns_df.groupBy("conv_id").agg(
+        F.max("ts").alias("ts"), F.count("*").alias("n_turns")
+    )
     return wide.join(final_ts, "conv_id")
 
 
@@ -660,11 +791,9 @@ MFESpark.metafeature_description = staticmethod(metafeature_description)
 def _expanding_rows(
     pdf: pd.DataFrame,
     measure_names: tuple,
-    summaries: tuple,
-    cap: int,
+    cfg: KernelConfig,
     stride: int,
     min_turns: int,
-    rescale: str | None,
 ):
     """Yield ONE long frame of per-turn PIT vectors for a chunk of
     whole conversations (sorted by conv_id, turn_idx)."""
@@ -691,10 +820,8 @@ def _expanding_rows(
                 role[s : s + end],
                 tool[s : s + end],
             )
-            batch = _batch_from_arrays(*arrays, rescale=rescale)
-            rows = _measure_rows(
-                batch, arrays, measure_names, summaries, cap, rescale
-            )
+            batch = _batch_from_arrays(*arrays, cfg=cfg)
+            rows, _ = _measure_rows(batch, arrays, measure_names, cfg)
             names = sorted(rows)
             t_at = int(turn_idx[s + end - 1])
             out_conv.extend([conv[s]] * len(names))
@@ -735,9 +862,7 @@ def _expanding_methods(cls):
         total (heavy groups additionally honor max_kernel_turns per
         prefix)."""
         measure_names = self.measure_names
-        summaries = self.summaries
-        cap = self.max_kernel_turns
-        rescale = self.rescale
+        cfg = replace(self.cfg, measure_time=None)
 
         def kernel(batches: "Iterable[pd.DataFrame]"):
             leftover: pd.DataFrame | None = None
@@ -752,13 +877,11 @@ def _expanding_methods(cls):
                     continue
                 leftover = pdf.iloc[cut:].reset_index(drop=True)
                 yield from _expanding_rows(
-                    pdf.iloc[:cut], measure_names, summaries, cap,
-                    stride, min_turns, rescale,
+                    pdf.iloc[:cut], measure_names, cfg, stride, min_turns
                 )
             if leftover is not None and len(leftover):
                 yield from _expanding_rows(
-                    leftover, measure_names, summaries, cap,
-                    stride, min_turns, rescale,
+                    leftover, measure_names, cfg, stride, min_turns
                 )
 
         cols = ["conv_id", "turn_idx", "role", "tool", "text_len", "ts_delta_s"]

@@ -11,7 +11,7 @@ Two kinds of evidence:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pymfe_spark.operators.base import TURNS_SQL, turns
@@ -150,6 +150,239 @@ def mfe_extract_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the gate's runtime bounded; stride 1 = every turn): the
     feature vector at (conv_id, turn_idx=t) reads only turns <= t.
     Rows-only; the prefix-equality leakage test is the correctness
-    evidence (tests/test_plans.py)."""
+    evidence (tests/test_plans.py); mfe_kernel_expanding_check below
+    adds a full value oracle for the SQL-expressible columns."""
     ex = MFESpark(groups=("general",))
     return ex.extract_expanding(turns(spark, sf_dir), stride=8)
+
+
+def _pick(name: str):
+    return F.max(F.when(F.col("mtf_name") == name, F.col("mtf_val")))
+
+
+def _no_nan(col: Column) -> Column:
+    """NaN -> NULL so kernel NaNs hash like oracle NULLs."""
+    return F.when(~F.isnan(col), col)
+
+
+# ---------------------------------------------------------------------
+# kernel cross-checks: pivot Arrow-kernel outputs that ARE
+# SQL-expressible and oracle them — one per extract family, so every
+# mfe_extract_* family has hard value evidence through the kernel path
+# (Arrow transfer, view assembly, summary layer, config threading).
+# ---------------------------------------------------------------------
+
+_DIST_ORACLE = with_transcripts_cte(
+    """
+SELECT conv_id,
+       round(nre, 6)      AS nre,
+       cast(sc AS double) AS sc,
+       round(c1, 6)       AS c1,
+       round(c2, 6)       AS c2,
+       round(t2, 6)       AS t2
+FROM agg
+""",
+    extra_ctes=TURNS_SQL
+    + """,
+ cls AS (SELECT conv_id, role, count(*) AS c
+         FROM turns GROUP BY conv_id, role),
+ agg AS (SELECT conv_id,
+                -sum((c * 1.0 / n) * ln(c * 1.0 / n))   AS nre,
+                sum(CASE WHEN c < 15 THEN 1 ELSE 0 END) AS sc,
+                CASE WHEN count(*) < 2 THEN NULL
+                     ELSE -sum((c * 1.0 / n) * log2(c * 1.0 / n))
+                          / log2(count(*)) END          AS c1,
+                CASE WHEN count(*) < 2 THEN NULL
+                     ELSE 1.0 - 1.0 /
+                          (((count(*) - 1.0) / count(*))
+                           * sum(c * 1.0 / (n - c))) END AS c2,
+                3.0 / n                                  AS t2
+         FROM (SELECT conv_id, role, c,
+                      sum(c) OVER (PARTITION BY conv_id) AS n
+               FROM cls)
+         GROUP BY conv_id, n)""",
+)
+
+
+@register("mfe_kernel_dist_check", oracle=_DIST_ORACLE, group=GROUP)
+def mfe_kernel_dist_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-tier cross-check: the SQL-expressible scalars of the
+    clustering (nre clustering.py:878, sc :915) and complexity (c1
+    complexity.py:1966, c2 :2005, t2 :2260) kernels, pivoted and
+    oracled — hard value evidence for the mfe_extract_distance /
+    mfe_extract_complexity families."""
+    ex = MFESpark(groups=("clustering", "complexity"))
+    long_df = ex.extract(turns(spark, sf_dir))
+    return long_df.groupBy("conv_id").agg(
+        F.round(_no_nan(_pick("nre")), 6).alias("nre"),
+        _no_nan(_pick("sc")).alias("sc"),
+        F.round(_no_nan(_pick("c1")), 6).alias("c1"),
+        F.round(_no_nan(_pick("c2")), 6).alias("c2"),
+        F.round(_no_nan(_pick("t2")), 6).alias("t2"),
+    )
+
+
+_SUMMARY_CHECK_ORACLE = with_transcripts_cte(
+    """
+SELECT conv_id,
+       round(quantile_cont(p, 0.00), 6) AS fc_q0,
+       round(quantile_cont(p, 0.25), 6) AS fc_q1,
+       round(quantile_cont(p, 0.50), 6) AS fc_q2,
+       round(quantile_cont(p, 0.75), 6) AS fc_q3,
+       round(quantile_cont(p, 1.00), 6) AS fc_q4,
+       -- powersum summed over the class-sorted list, sequentially —
+       -- the kernel's np.sum order (np.unique sorts classes; <=8
+       -- elements -> sequential), so the float result is bit-identical
+       -- instead of landing on a half-point under aggregate reordering
+       round(list_aggregate(
+         list_transform(list(p ORDER BY role), x -> x * x), 'sum'), 6)
+                                        AS fc_powersum
+FROM (SELECT conv_id, role,
+             c * 1.0 / sum(c) OVER (PARTITION BY conv_id) AS p
+      FROM (SELECT conv_id, role, count(*) AS c
+            FROM turns GROUP BY conv_id, role))
+GROUP BY conv_id
+""",
+    extra_ctes=TURNS_SQL,
+)
+
+
+@register("mfe_kernel_summary_check", oracle=_SUMMARY_CHECK_ORACLE, group=GROUP)
+def mfe_kernel_summary_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary-layer cross-check THROUGH the kernel: freq_class under
+    the quantiles (linear interpolation, _summary.py:62-143) and
+    powersum (p=2, :356-428) summaries, pivoted and oracled — value
+    evidence for the mfe_extract_full_summaries family."""
+    ex = MFESpark(groups=("general",), summaries=("quantiles", "powersum"))
+    long_df = ex.extract(turns(spark, sf_dir))
+    return long_df.groupBy("conv_id").agg(
+        *[
+            F.round(_no_nan(_pick(f"freq_class.quantiles.{i}")), 6).alias(
+                f"fc_q{i}"
+            )
+            for i in range(5)
+        ],
+        F.round(_no_nan(_pick("freq_class.powersum")), 6).alias("fc_powersum"),
+    )
+
+
+_EXPAND_CHECK_ORACLE = with_transcripts_cte(
+    """
+SELECT conv_id,
+       cast(turn_idx AS int) AS turn_idx,
+       cast(rn AS double)    AS nr_inst,
+       cast(nclass AS double) AS nr_class
+FROM pre
+WHERE (rn >= 2 AND (rn - 2) % 8 = 0 AND rn < n) OR rn = n
+""",
+    extra_ctes=TURNS_SQL
+    + """,
+ rk AS (SELECT conv_id, turn_idx, role,
+               row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+               count(*) OVER (PARTITION BY conv_id) AS n,
+               CASE WHEN row_number() OVER (PARTITION BY conv_id, role
+                                            ORDER BY turn_idx) = 1
+                    THEN 1 ELSE 0 END AS first_role
+        FROM turns),
+ pre AS (SELECT conv_id, turn_idx, rn, n,
+                sum(first_role) OVER (PARTITION BY conv_id ORDER BY rn)
+                  AS nclass
+         FROM rk)""",
+)
+
+
+@register("mfe_kernel_expanding_check", oracle=_EXPAND_CHECK_ORACLE, group=GROUP)
+def mfe_kernel_expanding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time cross-check: extract_expanding's per-prefix
+    nr_inst / nr_class pivoted per (conv, turn) and oracled against the
+    prefix counts in SQL (running first-occurrence sum for the distinct
+    role count) — the zero-leakage contract as a value oracle, prefix
+    grid included (every stride-8 turn from turn 2 plus the final
+    turn)."""
+    ex = MFESpark(groups=("general",))
+    pit = ex.extract_expanding(turns(spark, sf_dir), stride=8)
+    return pit.groupBy("conv_id", "turn_idx").agg(
+        _no_nan(_pick("nr_inst")).alias("nr_inst"),
+        _no_nan(_pick("nr_class")).alias("nr_class"),
+    )
+
+
+_CONF_CHECK_ORACLE = with_transcripts_cte(
+    """
+SELECT conv_id,
+       cast(count(*) AS double)             AS nr_inst,
+       cast(count(DISTINCT role) AS double) AS nr_class
+FROM turns GROUP BY conv_id
+""",
+    extra_ctes=TURNS_SQL,
+)
+
+
+@register("mfe_kernel_confidence_check", oracle=_CONF_CHECK_ORACLE, group=GROUP)
+def mfe_kernel_confidence_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap-path cross-check: extract_with_confidence's point
+    estimates (mtf_val = the full-data value the intervals bracket,
+    mfe.py:1533-1546) must equal the plain counts — value evidence that
+    the resample kernel computes around the right center. CI bounds
+    stay rows-gated (RNG-dependent by construction)."""
+    ex = MFESpark(groups=("general",))
+    ci = ex.extract_with_confidence(turns(spark, sf_dir), sample_num=8)
+    return ci.groupBy("conv_id").agg(
+        _no_nan(_pick("nr_inst")).alias("nr_inst"),
+        _no_nan(_pick("nr_class")).alias("nr_class"),
+    )
+
+
+_ONEHOT_CHECK_ORACLE = with_transcripts_cte(
+    """
+SELECT b.conv_id,
+       round((b.m1 + b.m2 + b.m3 + e.mean_sum) / (3 + e.d_enc), 6) AS mean_mean,
+       round((b.s1 + b.s2 + b.s3 + e.sd_sum) / (3 + e.d_enc), 6)   AS sd_mean,
+       5.0 AS nr_attr,
+       3.0 AS nr_num
+FROM base b JOIN enc e ON b.conv_id = e.conv_id
+""",
+    extra_ctes=TURNS_SQL
+    + """,
+ base AS (SELECT conv_id, count(*) AS n,
+                 avg(text_len)                       AS m1,
+                 avg(coalesce(ts_delta_s, 0))        AS m2,
+                 avg(turn_idx)                       AS m3,
+                 stddev_samp(text_len)               AS s1,
+                 stddev_samp(coalesce(ts_delta_s, 0)) AS s2,
+                 stddev_samp(turn_idx)               AS s3
+          FROM turns GROUP BY conv_id),
+ lv AS (SELECT conv_id, count(*) AS c
+        FROM turns GROUP BY conv_id, role
+        UNION ALL
+        SELECT conv_id, count(*) AS c
+        FROM turns GROUP BY conv_id, coalesce(tool, 'NONE')),
+ enc AS (SELECT lv.conv_id,
+                count(*)                         AS d_enc,
+                sum(lv.c * 1.0 / b.n)            AS mean_sum,
+                sum(sqrt((lv.c * 1.0 / b.n) * (1 - lv.c * 1.0 / b.n)
+                         * b.n / (b.n - 1)))     AS sd_sum
+         FROM lv JOIN base b ON lv.conv_id = b.conv_id
+         GROUP BY lv.conv_id)""",
+)
+
+
+@register("mfe_kernel_onehot_check", oracle=_ONEHOT_CHECK_ORACLE, group=GROUP)
+def mfe_kernel_onehot_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_cat cross-check: with one-hot-full encoding every
+    encoded column is a level indicator whose mean is the level's
+    frequency and whose sample sd is sqrt(p(1-p)·n/(n-1)) — both
+    SQL-derivable from (conv, level) counts, so the kernel's
+    mean.mean / sd.mean over the ENCODED N view get a full value
+    oracle; nr_attr/nr_num pin the X-semantics attribute counts under
+    encoding (general.py:212-231 / mfe.py:877-897)."""
+    ex = MFESpark(
+        groups=("general", "statistical"), transform_cat="one-hot-full"
+    )
+    long_df = ex.extract(turns(spark, sf_dir))
+    return long_df.groupBy("conv_id").agg(
+        F.round(_no_nan(_pick("mean.mean")), 6).alias("mean_mean"),
+        F.round(_no_nan(_pick("sd.mean")), 6).alias("sd_mean"),
+        _no_nan(_pick("nr_attr")).alias("nr_attr"),
+        _no_nan(_pick("nr_num")).alias("nr_num"),
+    )

@@ -12,9 +12,11 @@ Deviations (documented):
 - ``can_cor`` uses classical eigen-CCA instead of sklearn's NIPALS CCA
   (statistical.py:211-262) — identical canonical correlations at
   convergence.
-- ``sd_ratio`` implements standard Box's M (statistical.py:1162-1307)
-  without the reference's np.flip of the covariance stack (logdet is
-  flip-invariant; weight pairing kept in class order).
+- ``sd_ratio`` replicates the reference's Box's M verbatim INCLUDING
+  its np.flip(axis=(0,1)) of the covariance stack (statistical.py:
+  1222-1230) — the row-only flip negates dets for p % 4 in {2, 3},
+  which is why the reference's own mixed/categorical sd_ratio goldens
+  are NaN; the engine matches that contract.
 
 Shared intermediates (class masks, distance matrices, crosstabs) are
 computed once per batch and threaded through the kernels — the engine
@@ -60,6 +62,17 @@ class ConvBatch:
     # Measures defined over X (e.g. sparsity, statistical.py:1368-1408)
     # read N plus only these columns.
     orig_cat: int | None = None
+    # leading N columns that are ORIGINAL attributes (the rest are
+    # transform_cat encodings, mfe.py:877-897, which belong to the N
+    # view but not to X); None = all.
+    orig_num: int | None = None
+    # per-extraction knobs read by config-sensitive kernels
+    # (num_cv_folds / lm_sample_frac / score for landmarking,
+    # measure kwargs like nr_cor_attr's threshold) — the engine
+    # analogue of the reference's kwargs routing
+    # (/root/reference/pymfe/mfe.py:1208-1218, build_mtd_kwargs
+    # _internal.py:624-708)
+    config: dict = field(default_factory=dict)
 
     # --- shared precomputations (computed once, reused) ---
 
@@ -238,18 +251,33 @@ def measure(name: str, group: str, needs_y: bool = False):
 
 # ---- general (/root/reference/pymfe/general.py) ----------------------
 
+
+def _d_cat(b: ConvBatch) -> int:
+    """#ORIGINAL categorical attributes: the reference's attribute-count
+    measures are defined over X (general.py:212-231 et al.), so derived
+    discretizations (transform_num output; engine: len_bin) belong to
+    the C *view* but not to the attribute counts."""
+    return b.C.shape[1] if b.orig_cat is None else b.orig_cat
+
+
+def _d_num(b: ConvBatch) -> int:
+    """#ORIGINAL numeric attributes (transform_cat encodings belong to
+    the N view but not to X — mfe.py:877-897)."""
+    return b.N.shape[1] if b.orig_num is None else b.orig_num
+
+
 measure("nr_inst", "general")(lambda b: float(b.N.shape[0]))  # 318-337
-measure("nr_attr", "general")(lambda b: float(b.N.shape[1] + b.C.shape[1]))  # 212-231
-measure("nr_num", "general")(lambda b: float(b.N.shape[1]))  # 340-364
-measure("nr_cat", "general")(lambda b: float(b.C.shape[1]))  # 263-284
+measure("nr_attr", "general")(lambda b: float(_d_num(b) + _d_cat(b)))  # 212-231
+measure("nr_num", "general")(lambda b: float(_d_num(b)))  # 340-364
+measure("nr_cat", "general")(lambda b: float(_d_cat(b)))  # 263-284
 measure("attr_to_inst", "general")(
-    lambda b: (b.N.shape[1] + b.C.shape[1]) / b.N.shape[0]
+    lambda b: (_d_num(b) + _d_cat(b)) / b.N.shape[0]
 )  # 88-110
 measure("inst_to_attr", "general")(
-    lambda b: b.N.shape[0] / (b.N.shape[1] + b.C.shape[1])
+    lambda b: b.N.shape[0] / (_d_num(b) + _d_cat(b))
 )  # 187-209
-measure("cat_to_num", "general")(lambda b: b.C.shape[1] / b.N.shape[1])  # 113-150
-measure("num_to_cat", "general")(lambda b: b.N.shape[1] / b.C.shape[1])  # 367-405
+measure("cat_to_num", "general")(lambda b: _d_cat(b) / _d_num(b))  # 113-150
+measure("num_to_cat", "general")(lambda b: _d_num(b) / _d_cat(b))  # 367-405
 measure("nr_class", "general", needs_y=True)(
     lambda b: float(np.unique(b.y).size)
 )  # 287-315
@@ -265,12 +293,12 @@ def _freq_class(b: ConvBatch) -> np.ndarray:
 
 @measure("nr_bin", "general")
 def _nr_bin(b: ConvBatch) -> float:
-    """#columns with exactly 2 distinct values (general.py:234-260),
-    over both views."""
+    """#columns with exactly 2 distinct values (general.py:234-260) —
+    defined over X, so only original attributes count (see _d_cat)."""
     n = 0
-    for j in range(b.N.shape[1]):
+    for j in range(_d_num(b)):
         n += int(np.unique(b.N[:, j]).size == 2)
-    for j in range(b.C.shape[1]):
+    for j in range(_d_cat(b)):
         n += int(np.unique(b.C[:, j]).size == 2)
     return float(n)
 
@@ -357,15 +385,15 @@ measure("kurtosis", "statistical")(_per_col(_kurt_m3))  # 681-738
 @measure("sparsity", "statistical")
 def _sparsity(b: ConvBatch) -> np.ndarray:
     """(n/d - 1)/(n - 1) per ORIGINAL attribute — statistical.py:
-    1368-1408 operates on X, so derived discretized columns (reference:
-    transform_num output; engine: len_bin) are excluded."""
+    1368-1408 operates on X, so derived columns (reference:
+    transform_num/transform_cat output; engine: len_bin and encoded
+    role/tool) are excluded."""
     n = b.N.shape[0]
-    n_cat = b.C.shape[1] if b.orig_cat is None else b.orig_cat
     vals = []
-    for j in range(b.N.shape[1]):
+    for j in range(_d_num(b)):
         d = np.unique(b.N[:, j]).size
         vals.append((n / d - 1.0) / (n - 1.0) if n > 1 else np.nan)
-    for j in range(n_cat):
+    for j in range(_d_cat(b)):
         d = np.unique(b.C[:, j]).size
         vals.append((n / d - 1.0) / (n - 1.0) if n > 1 else np.nan)
     return np.array(vals)
@@ -400,9 +428,16 @@ def _cov(b: ConvBatch) -> np.ndarray:
 
 @measure("nr_cor_attr", "statistical")
 def _nr_cor_attr(b: ConvBatch) -> float:
-    """fraction of pairs with |rho| >= 0.5 (statistical.py:863-915)."""
+    """fraction of pairs with |rho| >= threshold (statistical.py:
+    863-915; default 0.5, overridable via measure_kwargs routing —
+    the reference's ``extract(nr_cor_attr={"threshold": ...})``)."""
+    thr = (
+        b.config.get("measure_kwargs", {})
+        .get("nr_cor_attr", {})
+        .get("threshold", 0.5)
+    )
     v = np.abs(b.corr_mat())[np.tril_indices(b.N.shape[1], k=-1)]
-    return float(np.mean(v >= 0.5)) if v.size else float("nan")
+    return float(np.mean(v >= thr)) if v.size else float("nan")
 
 
 @measure("eigenvalues", "statistical")
@@ -537,22 +572,28 @@ def _sd_ratio(b: ConvBatch) -> float:
     n, p = b.N.shape
     if k < 2 or np.any(cnt < 2):
         return float("nan")
-    covs = [np.cov(b.N[b.y == c], rowvar=False, ddof=1) for c in classes]
+    covs = np.array(
+        [np.cov(b.N[b.y == c], rowvar=False, ddof=1) for c in classes]
+    )
+    # replicated verbatim from the reference (statistical.py:1222-1230):
+    # np.flip(axis=(0, 1)) reverses the class order AND each matrix's
+    # ROWS (not columns), so every det picks up a (-1)^floor(p/2)
+    # factor and the weights pair with the reversed class stack. For
+    # p % 4 in {2, 3} the dets go negative -> log -> NaN — the
+    # reference's own mixed/categorical goldens pin that NaN, so the
+    # quirk is part of the contract.
+    covs = np.flip(covs, axis=(0, 1))
     w = cnt - 1.0
-    pooled = sum(wi * Si for wi, Si in zip(w, covs)) / (n - k)
+    pooled = (w[:, None, None] * covs).sum(axis=0) / (n - k)
     gamma = 1.0 - (
         (2.0 * p**2 + 3.0 * p - 1.0) / (6.0 * (p + 1.0) * (k - 1.0))
     ) * (np.sum(1.0 / w) - 1.0 / (n - k))
-    sign_p, logdet_p = np.linalg.slogdet(pooled)
-    logdets = []
-    for Si in covs:
-        sign, ld = np.linalg.slogdet(np.atleast_2d(Si))
-        if sign <= 0:
-            return float("nan")
-        logdets.append(ld)
-    if sign_p <= 0:
+    with np.errstate(all="ignore"):
+        logdets = [np.log(np.linalg.det(np.atleast_2d(Si))) for Si in covs]
+        logdet_p = np.log(np.linalg.det(np.atleast_2d(pooled)))
+        m_factor = gamma * ((n - k) * logdet_p - np.dot(w, logdets))
+    if not np.isfinite(m_factor):
         return float("nan")
-    m_factor = gamma * ((n - k) * logdet_p - np.dot(w, logdets))
     return float(np.exp(m_factor / (p * (n - k))))
 
 

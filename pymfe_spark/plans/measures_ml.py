@@ -29,7 +29,7 @@ import numpy as np
 from pymfe_spark.plans.measures import ConvBatch, measure
 from pymfe_spark.plans.ml import (
     NumpyCART,
-    accuracy,
+    check_score,
     feature_importance_full_dt,
     gnb_fit_predict,
     gower_norm_dist,
@@ -39,7 +39,7 @@ from pymfe_spark.plans.ml import (
     stratified_kfold,
 )
 
-N_FOLDS = 10  # reference default (mfe.py:63)
+N_FOLDS = 10  # reference default num_cv_folds (mfe.py:63)
 SEED = 42
 
 
@@ -48,13 +48,37 @@ SEED = 42
 # ---------------------------------------------------------------------
 
 
+def _lm_data(b: ConvBatch) -> tuple[np.ndarray, np.ndarray]:
+    """(N, y) for landmarking, after the optional lm_sample_frac
+    subsample (landmarking.py:198-236 _get_sample_inds/_sample_data:
+    seeded choice WITHOUT replacement of int(frac*n) rows, one shared
+    index set for every landmarker — the precompute_landmarking_sample
+    contract)."""
+    frac = float(b.config.get("lm_sample_frac", 1.0))
+    if frac >= 1.0:
+        return b.N, b.y
+    if "lm_sample_inds" not in b._cache:
+        rng = np.random.RandomState(b.config.get("seed", SEED))
+        b._cache["lm_sample_inds"] = rng.choice(
+            b.y.size, size=int(frac * b.y.size), replace=False
+        )
+    inds = b._cache["lm_sample_inds"]
+    return b.N[inds, :], b.y[inds]
+
+
 def _cv_scores(b: ConvBatch, fit_predict) -> np.ndarray:
-    """Per-fold accuracy vector (the reference's per-fold score shape —
-    landmarking measures return k values, summarized downstream)."""
+    """Per-fold score vector (the reference's per-fold score shape —
+    landmarking measures return k values, summarized downstream).
+    Folds, scorer and subsample honor the per-extraction config
+    (num_cv_folds mfe.py:63, score scoring.py:6-28, lm_sample_frac
+    mfe.py:199-201)."""
+    n_folds = int(b.config.get("num_cv_folds", N_FOLDS))
+    scorer = check_score(b.config.get("score", "accuracy"))
+    N, y = _lm_data(b)
     scores = []
-    for i, (tr, te) in enumerate(stratified_kfold(b.y, N_FOLDS)):
-        pred = fit_predict(b.N[tr], b.y[tr], b.N[te], i)
-        scores.append(accuracy(b.y[te], pred))
+    for i, (tr, te) in enumerate(stratified_kfold(y, n_folds)):
+        pred = fit_predict(N[tr], y[tr], N[te], i)
+        scores.append(scorer(y[te], pred))
     return np.array(scores)
 
 
@@ -64,9 +88,11 @@ def _fold_importances(b: ConvBatch) -> list:
     precompute (landmarking.py:160-195); previously each measure refit
     the full tree per fold (2x10 fits -> 10)."""
     if "cv_fold_imp" not in b._cache:
+        n_folds = int(b.config.get("num_cv_folds", N_FOLDS))
+        N, y = _lm_data(b)
         b._cache["cv_fold_imp"] = [
-            feature_importance_full_dt(b.N[tr], b.y[tr])
-            for tr, _ in stratified_kfold(b.y, N_FOLDS)
+            feature_importance_full_dt(N[tr], y[tr])
+            for tr, _ in stratified_kfold(y, n_folds)
         ]
     return b._cache["cv_fold_imp"]
 

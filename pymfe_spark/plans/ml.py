@@ -59,6 +59,52 @@ def accuracy(y_true: np.ndarray, y_pred: np.ndarray) -> float:
     return float(np.mean(y_true == y_pred))
 
 
+def balanced_accuracy(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    """Macro-average of per-class recall (sklearn
+    balanced_accuracy_score semantics; /root/reference/pymfe/
+    scoring.py:11-13)."""
+    classes = np.unique(y_true)
+    recalls = [
+        float(np.mean(y_pred[y_true == c] == c)) for c in classes
+    ]
+    return float(np.mean(recalls))
+
+
+def f1(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    """Support-weighted mean of per-class F1 (sklearn
+    f1_score(average="weighted"); /root/reference/pymfe/
+    scoring.py:16-18). Classes absent from y_true contribute zero
+    weight; zero-division cases score 0 per sklearn's default."""
+    classes, support = np.unique(y_true, return_counts=True)
+    f1s = []
+    for c in classes:
+        tp = float(np.sum((y_pred == c) & (y_true == c)))
+        fp = float(np.sum((y_pred == c) & (y_true != c)))
+        fn = float(np.sum((y_pred != c) & (y_true == c)))
+        denom = 2 * tp + fp + fn
+        f1s.append(2 * tp / denom if denom > 0 else 0.0)
+    return float(np.average(f1s, weights=support))
+
+
+# scoring registry (/root/reference/pymfe/scoring.py:6-28 +
+# check_score _internal.py:1670-1717); kappa/auc are unimplemented in
+# the reference too
+SCORERS = {
+    "accuracy": accuracy,
+    "balanced-accuracy": balanced_accuracy,
+    "f1": f1,
+}
+
+
+def check_score(score: str):
+    """Resolve a scorer name (check_score, _internal.py:1670-1717)."""
+    if score not in SCORERS:
+        raise ValueError(
+            f"unknown score {score!r}; choose one of {sorted(SCORERS)}"
+        )
+    return SCORERS[score]
+
+
 # ---------------------------------------------------------------------
 # CART (gini)
 # ---------------------------------------------------------------------

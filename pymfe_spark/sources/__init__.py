@@ -7,3 +7,8 @@ from pymfe_spark.sources.transcripts import (  # noqa: F401
     transcripts,
     with_transcripts_cte,
 )
+from pymfe_spark.sources.arff import (  # noqa: F401
+    arff_schema,
+    read_arff,
+    read_csv,
+)

@@ -263,7 +263,7 @@ def test_rescale_invariant_and_variant_measures():
     """Scale-invariant measures (n3: 1-NN on gower-normalized
     distances) are unchanged under min-max rescale; scale-dependent
     statistical views change."""
-    from pymfe_spark.plans.extractor import build_batch
+    from pymfe_spark.plans.extractor import KernelConfig, build_batch
     import pandas as pd
 
     rng = np.random.RandomState(11)
@@ -279,7 +279,7 @@ def test_rescale_invariant_and_variant_measures():
         }
     )
     raw = build_batch(pdf)
-    scaled = build_batch(pdf, rescale="min-max")
+    scaled = build_batch(pdf, cfg=KernelConfig(rescale="min-max"))
     np.testing.assert_allclose(
         MEASURES["n3"].fn(raw), MEASURES["n3"].fn(scaled)
     )
