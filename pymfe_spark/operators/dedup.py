@@ -87,22 +87,36 @@ FROM documents
 @register("dedup_exact", oracle=_EXACT_ORACLE, group=GROUP)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized text: every doc mapped to its cluster's
-    canonical (min) doc_id + cluster size. Single hash window on the
-    normalization key; at scale, replace the window with
-    groupBy(norm).agg(min, count) + broadcast-back join."""
-    from pyspark.sql.window import Window
+    canonical (min) doc_id + cluster size.
 
-    d = _docs(spark, sf_dir)
-    norm = F.lower(F.trim(F.col("text")))
-    w = Window.partitionBy(norm)
-    return d.select(
-        "doc_id",
-        F.min("doc_id").over(w).alias("canonical_id"),
-        F.count("*").over(w).alias("cluster_size"),
+    Physical shape: groupBy(norm).agg(min, count) + join back on norm —
+    NOT a window over the normalization key. The window form sorts full
+    text bytes inside every partition; the agg form map-side-combines
+    (duplicates collapse before the exchange) and the join's build side
+    carries one row per distinct text. Both sides hash-partition on
+    norm, so the join reuses the aggregation's exchange."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("norm")
+    )
+    clusters = d.groupBy("norm").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("cluster_size"),
+    )
+    return d.join(clusters, "norm").select(
+        "doc_id", "canonical_id", "cluster_size"
     )
 
 
-_JACCARD_ORACLE = """
+# document-frequency cap for the candidate join: a shingle shared by
+# more than MAX_SHINGLE_DF documents is boilerplate, carries no dedup
+# signal, and degenerates the self-join quadratically (one stop-shingle
+# in 1M docs = 10^12 pairs). Dropped BEFORE the join in both engines —
+# the Jaccard denominator keeps the full per-doc shingle-set size, so
+# surviving pairs score identically; pairs that shared ONLY hot
+# shingles are (intentionally) not emitted.
+MAX_SHINGLE_DF = 128
+
+_JACCARD_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
   FROM documents
@@ -112,9 +126,13 @@ WITH toks AS (
   FROM toks, unnest(range(1, greatest(len(w) - 2, 1))) AS i(i)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), cold AS (
+  SELECT doc_id, s
+  FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+  WHERE df <= {MAX_SHINGLE_DF}
 ), shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT sh.doc_a, sh.doc_b,
@@ -126,24 +144,41 @@ JOIN sizes sb ON sh.doc_b = sb.doc_id
 
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, group=GROUP)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_shingle_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
     """Word-4-gram Jaccard similarity for every candidate pair (docs
-    sharing >= 1 shingle). Candidate generation via shingle-key
-    equi-join — shuffle on the shingle, never a cross join; hot
-    shingles would be dropped by a frequency cap at 100 TB (df > 0.1%
-    carries no dedup signal)."""
+    sharing >= 1 sub-cap shingle). Candidate generation via shingle-key
+    equi-join — shuffle on the shingle, never a cross join — with hot
+    shingles (document frequency > max_shingle_df) removed BEFORE the
+    join (see MAX_SHINGLE_DF): the cap is enforced in the plan, not a
+    docstring, and the oracle mirrors it so the gate verifies the
+    capped semantics. The intersection counts only sub-cap shingles;
+    the union denominator keeps full shingle-set sizes."""
     from pyspark.sql.window import Window
 
     sh = shingle_table(spark, sf_dir)
-    # shingle-set size rides along via a window BEFORE the self-join:
-    # both join sides become the identical subtree (one shuffle of the
-    # shingle table, physically reused) and no post-join size lookups —
-    # previously the shingle derivation ran once per branch (a, b, and
-    # two size joins = 4 scans).
+    # shingle-set size and document frequency ride along via windows
+    # BEFORE the self-join: both join sides stay the identical subtree
+    # (one shuffle of the shingle table per window key, physically
+    # reused) and no post-join size lookups. The df window shuffles on
+    # s — the same key the join needs — so the cap costs no extra
+    # exchange on the join side.
     shn = sh.select(
         "doc_id", "s", F.count("*").over(Window.partitionBy("doc_id")).alias("n")
     )
-    a, b = shn.alias("a"), shn.alias("b")
+    # hot-shingle list via groupBy (map-side combine absorbs the skew —
+    # a window over s would materialize the mega-partition the cap is
+    # here to prevent) -> tiny by construction -> broadcast ANTI join,
+    # which drops hot rows with no shuffle of the big side.
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .select("s")
+    )
+    cold = shn.join(F.broadcast(hot), "s", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
     return (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -245,3 +280,53 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(4)
         ],
     )
+
+
+SIMHASH_MAX_HAMMING = 3
+
+
+@register("dedup_simhash_pairs", oracle=None, group=GROUP)
+def dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """SimHash near-duplicate pairs: candidates from byte-band
+    collisions, verified by exact hamming distance.
+
+    Pigeonhole guarantee: with 4 bands of 8 bits, any pair within
+    hamming distance 3 differs in at most 3 bands, so at least one band
+    matches exactly — the equi-join on (band index, band value) has
+    100% recall at max_hamming <= 3 while shuffling only band-bucket
+    collisions, never the O(n²) pair space. Verification is JVM-side
+    bit_count(xor) on the full 32-bit signatures. Output: (doc_a,
+    doc_b, hamming), one row per pair (multi-band collisions deduped).
+    Rows-only check (crc32 has no DuckDB twin); recovery of planted
+    near-dups is unit-tested against token-level edits."""
+    sig = dedup_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"), F.col(f"band{k}").alias("v")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.k").alias("k"), F.col("b.v").alias("v"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.v") == F.col("b.v"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        ).alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()

@@ -30,6 +30,10 @@ TOP_K = 5
 _DIM = 64
 _N_PLANES = 8
 _PLANES = np.round(np.random.RandomState(7).randn(_N_PLANES, _DIM), 6)
+# second, independent hyperplane table for multi-table LSH candidate
+# generation (dedup_embedding_cosine): a pair missed by one table's
+# buckets is recovered when the other table agrees on all 8 signs
+_PLANES2 = np.round(np.random.RandomState(11).randn(_N_PLANES, _DIM), 6)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,33 +264,22 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_DEDUP_TAU = 0.40  # synthetic embeddings top out near cos ~0.6
 
 
-def _bucket_col(vcol: Column) -> Column:
-    """Sign-bucket id of a vector under the fixed hyperplanes."""
-    plane_cols = [F.array(*[F.lit(float(x)) for x in p]) for p in _PLANES]
+def _bucket_col(vcol: Column, planes: np.ndarray = _PLANES) -> Column:
+    """Sign-bucket id of a vector under a fixed hyperplane table."""
+    plane_cols = [F.array(*[F.lit(float(x)) for x in p]) for p in planes]
     return sum(
         F.when(_dot(vcol, plane_cols[j]) > 0, F.lit(2**j)).otherwise(F.lit(0))
         for j in range(_N_PLANES)
     ).cast("int")
 
 
-_EMB_DEDUP_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.v, b.v), 4) AS cos
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {EMB_DEDUP_TAU}
-"""
-
-
-@register("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE, group="dedup")
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding near-duplicate pairs: cosine >= tau over all
-    (a, b) with a < b. Norms are projected once per side before the
-    join so the pair predicate does one fold per pair. This is the
-    verification stage; at 100 TB candidates come from the
-    LSH-bucketed variant below (never the full cross join). The
-    threshold compares the ROUNDED cosine in both engines so boundary
-    pairs cannot flip on last-ulp differences."""
+def dedup_embedding_cosine_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All-pairs exact near-dup truth source — O(n²) BY CONSTRUCTION
+    (BroadcastNestedLoopJoin on id_a < id_b), so it is NOT in the query
+    catalog; tests use it to measure the catalog variants' recall. At
+    any real scale candidates must come from LSH bucketing."""
     e = _emb(spark, sf_dir).select(
         "vec_id", "v", _norm(F.col("v")).alias("nrm")
     )
@@ -301,6 +294,106 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = r(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= EMB_DEDUP_TAU)
+    )
+
+
+def _planes2_sql() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in _PLANES2
+    )
+    return f"[{rows}]"
+
+
+_EMB_DEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ p1 AS (SELECT {{planes1}} AS ps),
+ p2 AS (SELECT {{planes2}} AS ps),
+ b1 AS (
+   SELECT vec_id,
+          list_aggregate(
+            list_transform(range(1, {_N_PLANES + 1}),
+              j -> CASE WHEN list_inner_product(e.v, ps[j]) > 0
+                        THEN cast(pow(2, j - 1) AS bigint) ELSE 0 END),
+            'sum') AS bucket
+   FROM e, p1),
+ b2 AS (
+   SELECT vec_id,
+          list_aggregate(
+            list_transform(range(1, {_N_PLANES + 1}),
+              j -> CASE WHEN list_inner_product(e.v, ps[j]) > 0
+                        THEN cast(pow(2, j - 1) AS bigint) ELSE 0 END),
+            'sum') AS bucket
+   FROM e, p2),
+ cand AS (
+   SELECT a.vec_id AS id_a, b.vec_id AS id_b
+   FROM b1 a JOIN b1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+   UNION
+   SELECT a.vec_id AS id_a, b.vec_id AS id_b
+   FROM b2 a JOIN b2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+FROM cand c
+JOIN e ea ON c.id_a = ea.vec_id
+JOIN e eb ON c.id_b = eb.vec_id
+WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {EMB_DEDUP_TAU}
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_EMB_DEDUP_ORACLE.format(
+        planes1=_planes_sql(), planes2=_planes2_sql()
+    ),
+    group="dedup",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs, production shape: multi-table
+    LSH candidates -> exact rounded-cosine verify.
+
+    Round 1 shipped this as the all-pairs non-equi join — a
+    BroadcastNestedLoopJoin that is O(n²) at any scale (VERDICT.md
+    "What's wrong" #2). Now candidates come from TWO independent
+    8-plane sign-LSH tables (seeds 7 and 11): a pair is a candidate if
+    either table agrees on all 8 signs, which roughly squares the miss
+    probability of the single-table variant (recall vs the exact truth
+    source is asserted in tests). Both bucket joins are equi-joins; the
+    union dedups ids; exact cosines come from two id equi-joins back to
+    the vectors. Deterministic planes -> the DuckDB oracle replicates
+    the whole candidate pipeline bit-for-bit. The plan audit bans BNLJ
+    from every catalog query, so the O(n²) shape cannot silently
+    return; the exact form survives only as the test-only truth source
+    (dedup_embedding_cosine_exact)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "v", _norm(F.col("v")).alias("nrm")
+    )
+    b1 = e.select("vec_id", _bucket_col(F.col("v"), _PLANES).alias("bucket"))
+    b2 = e.select("vec_id", _bucket_col(F.col("v"), _PLANES2).alias("bucket"))
+
+    def pairs(b: DataFrame) -> DataFrame:
+        x, y = b.alias("x"), b.alias("y")
+        return x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        ).select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+
+    cand = pairs(b1).union(pairs(b2)).distinct()
+    ea = e.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = r(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= EMB_DEDUP_TAU)
     )

@@ -108,21 +108,104 @@ def test_exact_dedup_planted(spark):
 
 
 def test_embedding_cosine_dedup_exact_vs_lsh(spark):
-    """LSH-bucketed near-dup pairs are a subset of the exact pairs with
-    identical cosines (the bucket restriction only drops candidates,
-    never fabricates or perturbs them)."""
+    """Candidate-based near-dup pairs are a subset of the all-pairs
+    truth source with identical cosines (bucketing only drops
+    candidates, never fabricates or perturbs them); the two-table
+    variant recalls at least as much as the single-table one (its
+    table 1 IS the single-table bucketing)."""
     from pymfe_spark.operators.similarity import (
         dedup_embedding_cosine,
+        dedup_embedding_cosine_exact,
         dedup_embedding_lsh,
     )
 
-    exact = dedup_embedding_cosine(spark, SF_SMOKE).toPandas()
-    lsh = dedup_embedding_lsh(spark, SF_SMOKE).toPandas()
+    exact = dedup_embedding_cosine_exact(spark, SF_SMOKE).toPandas()
+    two_table = dedup_embedding_cosine(spark, SF_SMOKE).toPandas()
+    one_table = dedup_embedding_lsh(spark, SF_SMOKE).toPandas()
     assert len(exact) > 0
     ek = {(a, b): c for a, b, c in exact.itertuples(index=False)}
-    for a, b, c in lsh.itertuples(index=False):
+    tk = {(a, b) for a, b, _ in two_table.itertuples(index=False)}
+    for a, b, c in two_table.itertuples(index=False):
         assert (a, b) in ek
         assert c == ek[(a, b)]
+    for a, b, _ in one_table.itertuples(index=False):
+        assert (a, b) in tk  # table-1 candidates all survive the union
+    assert len(two_table) >= len(one_table)
+
+
+def test_catalog_embedding_dedup_never_plans_bnlj(spark):
+    """The O(n²) BroadcastNestedLoopJoin shape must never return to the
+    catalog variant (VERDICT.md round-1 'What's wrong' #2); the exact
+    truth source keeps it BY DESIGN (test-only)."""
+    import contextlib
+    import io
+
+    from pymfe_spark.operators.similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_exact,
+    )
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    assert "BroadcastNestedLoopJoin" not in plan(
+        dedup_embedding_cosine(spark, SF_SMOKE)
+    )
+    assert "BroadcastNestedLoopJoin" in plan(
+        dedup_embedding_cosine_exact(spark, SF_SMOKE)
+    )
+
+
+def test_ngram_jaccard_drops_planted_stop_shingle(spark):
+    """A shingle shared by more docs than the DF cap must not generate
+    candidate pairs by itself: docs whose ONLY shared shingles are hot
+    produce no pair, while genuine near-dups still do."""
+    from pymfe_spark.operators.dedup import dedup_ngram_jaccard
+
+    boiler = "standard legal disclaimer applies here "  # 4-token shingle source
+    rows = [(i, boiler + f"unique{i} filler{i} token{i} body{i}") for i in range(40)]
+    # one genuine near-dup pair sharing non-boilerplate content
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta thetb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet("/tmp/stop_shingle/documents.parquet")
+    out = dedup_ngram_jaccard(
+        spark, "/tmp/stop_shingle", max_shingle_df=16
+    ).toPandas()
+    # the 40 boilerplate docs share ONLY the hot shingles -> 0 pairs
+    assert not ((out.doc_a < 100) & (out.doc_b < 100)).any()
+    # the genuine pair survives
+    assert ((out.doc_a == 100) & (out.doc_b == 101)).any()
+
+
+def test_simhash_pairs_recover_planted_near_dup(spark):
+    """Band-join + hamming verify: a token-level edit stays within
+    hamming 3 and is recovered; unrelated docs are not paired."""
+    from pymfe_spark.operators.dedup import dedup_simhash_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts carefully catalog obscure mineral samples beneath "
+        "flickering fluorescent laboratory lights every single day"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("day", "night")),  # one-token edit
+        (3, "utterly disjoint vocabulary cluster without any shared terms"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet("/tmp/simhash_pairs/documents.parquet")
+    out = dedup_simhash_pairs(spark, "/tmp/simhash_pairs").toPandas()
+    hit = out[(out.doc_a == 1) & (out.doc_b == 2)]
+    assert len(hit) == 1, "planted near-dup not recovered"
+    assert hit.iloc[0]["hamming"] <= 3
+    assert not ((out.doc_a == 1) & (out.doc_b == 3)).any()
+    assert not ((out.doc_a == 2) & (out.doc_b == 3)).any()
 
 
 def test_ivf_topk_probes_only_two_lists(spark):

@@ -40,10 +40,25 @@ def test_column_pruning_reaches_scan(spark):
         assert "lang" not in s and "source" not in s, f"unpruned scan: {s}"
 
 
+# BroadcastNestedLoopJoin is acceptable ONLY where the broadcast side
+# is tiny by construction: the brute-force ANN baseline (Q=10 query
+# rows x N scan — the documented O(Q·N) design) and IVF's probe step
+# (Q x k centroid rows). Everything else — especially the dedup
+# family — must plan equi-joins; an unlisted BNLJ is an O(n²)
+# regression (round-1 dedup_embedding_cosine shipped one).
+BNLJ_ALLOWED = {"sim_topk_bruteforce", "sim_ivf_topk"}
+
+
 def test_no_cartesian_products_anywhere(spark):
     for name in CATALOG:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if name not in BNLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} plans a BroadcastNestedLoopJoin (O(n²) unless the "
+                "broadcast side is tiny; add to BNLJ_ALLOWED only with a "
+                "size-bounded justification)"
+            )
 
 
 def test_similarity_broadcasts_query_side(spark):
@@ -68,7 +83,7 @@ def test_extractor_python_stage_parallelism_pinned(spark):
     serializing the CPU-bound Python kernel onto ~2 partitions. Range
     partitioning is never satisfied by hash clustering, so the explicit
     partition count survives."""
-    plan = plan_of(spark, "mfe_extract_core")
+    plan = plan_of(spark, "zz_mfe_extract_core")
     assert "MapInPandas" in plan
     m = re.search(
         r"rangepartitioning\(conv_id#\d+ ASC NULLS FIRST, (\d+)\), "
