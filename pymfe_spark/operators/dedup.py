@@ -197,15 +197,102 @@ def dedup_ngram_jaccard(
     )
 
 
-@register("dedup_minhash_lsh", oracle=None, group=GROUP)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=16 affine permutations of crc32 shingle
-    hashes) + 1-row banding: candidate pair when any band collides.
-    Output: (doc_a, doc_b, n_bands_matched, est_jaccard). est_jaccard =
-    matched bands / k is the unbiased MinHash estimate; unit tests
-    check it tracks exact Jaccard."""
+# cap on band-bucket size: a (band, value) bucket shared by more than
+# MAX_BAND_BUCKET docs is a mega-cluster of near-identical documents —
+# it belongs to dedup_exact (one groupBy), not to the pairwise LSH path
+# (B docs -> B² pairs). Mirrored in the oracle.
+MAX_BAND_BUCKET = 64
+
+
+def _poly_hash(col: Column) -> Column:
+    """The cross-engine polynomial string hash (same weights and
+    modulus as textops.text_fingerprint, whose oracle proves Spark and
+    DuckDB agree bit-for-bit): sum(ascii(c_i) * 31^(i mod 8)) mod
+    2^31-1. Replaces round-1's crc32, which DuckDB lacks — with it the
+    WHOLE MinHash pipeline (hash -> affine permutations -> min ->
+    banding -> candidate join) is oracle-checkable."""
+    from pymfe_spark.operators.textops import FP_WEIGHTS
+
+    w_arr = F.array(*[F.lit(w) for w in FP_WEIGHTS])
+    terms = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(F.substring(col, i, F.lit(1))).cast("long")
+        * F.element_at(w_arr, (F.pmod(i - 1, F.lit(8)) + 1).cast("int")),
+    )
+    return F.pmod(
+        F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x),
+        F.lit(_P),
+    )
+
+
+def _minhash_oracle() -> str:
+    from pymfe_spark.operators.textops import FP_WEIGHTS
+
+    w_sql = "[" + ", ".join(str(w) for w in FP_WEIGHTS) + "]"
+    sig_cols = ", ".join(
+        f"min(({MH_A[k]}::BIGINT * h + {MH_B[k]}) % {_P}) AS mh{k}"
+        for k in range(MINHASH_K)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band, mh{k} AS v FROM sig"
+        for k in range(MINHASH_K)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] || '_' || w[i.i+3] AS s
+  FROM toks, unnest(range(1, greatest(len(w) - 2, 1))) AS i(i)
+), hashed AS (
+  SELECT doc_id,
+         cast(list_aggregate(
+           list_transform(range(1, length(s) + 1),
+                          i -> ascii(s[i])::BIGINT * ({w_sql})[((i - 1) % 8) + 1]),
+           'sum') % {_P} AS BIGINT) AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id
+), bands AS (
+  {band_rows}
+), cold AS (
+  SELECT doc_id, band, v
+  FROM (SELECT doc_id, band, v,
+               count(*) OVER (PARTITION BY band, v) AS bsz
+        FROM bands)
+  WHERE bsz <= {MAX_BAND_BUCKET}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(count(*) AS bigint) AS n_bands_matched
+  FROM cold a JOIN cold b
+    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_bands_matched,
+       round(n_bands_matched * 1.0 / {MINHASH_K}, 6) AS est_jaccard
+FROM pairs
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), group=GROUP)
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, max_band_bucket: int = MAX_BAND_BUCKET
+) -> DataFrame:
+    """MinHash signatures (k=16 affine permutations of the cross-engine
+    polynomial shingle hash) + 1-row banding: candidate pair when any
+    band collides, with mega-buckets (> max_band_bucket docs sharing a
+    band value — near-identical clusters that belong to dedup_exact)
+    dropped before the join. Output: (doc_a, doc_b, n_bands_matched,
+    est_jaccard). est_jaccard = matched bands / k is the unbiased
+    MinHash estimate; unit tests check it tracks exact Jaccard, and
+    the full pipeline (hash, permutations, banding, cap, join) is
+    DuckDB-oracle-checked bit-for-bit. At 100 TB this composes with an
+    exact-Jaccard verify on the candidate pairs (the dedup_ngram
+    oracle shape) — 1-row bands maximize recall, the verify restores
+    precision."""
     sh = shingle_table(spark, sf_dir)
-    h = F.crc32(F.col("s").cast("binary"))
+    h = _poly_hash(F.col("s"))
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.pmod(F.lit(MH_A[k]) * h + F.lit(MH_B[k]), F.lit(_P))).alias(
@@ -225,7 +312,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bv"),
     ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
-    a, b = bands.alias("a"), bands.alias("b")
+    # mega-bucket cap via tiny aggregated hot list + broadcast anti
+    # join (same scale shape as the shingle DF cap above)
+    hot = (
+        bands.groupBy("band", "v")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > max_band_bucket)
+        .select("band", "v")
+    )
+    cold = bands.join(F.broadcast(hot), ["band", "v"], "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
     pairs = (
         a.join(
             b,
@@ -244,10 +340,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", oracle=None, group=GROUP)
+SIMHASH_BITS = 31  # poly hash is mod 2^31-1 -> 31 usable bits
+# 4 bands of 8/8/8/7 bits: any pair within hamming 3 shares >= 1 band
+_SIMHASH_BAND_BITS = ((0, 8), (8, 8), (16, 8), (24, 7))
+
+
+def _simhash_oracle() -> str:
+    from pymfe_spark.operators.textops import FP_WEIGHTS
+
+    w_sql = "[" + ", ".join(str(w) for w in FP_WEIGHTS) + "]"
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sh_expr = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {2**j}::BIGINT ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    band_cols = ", ".join(
+        f"cast((simhash >> {off}) & {2**width - 1} AS int) AS band{k}"
+        for k, (off, width) in enumerate(_SIMHASH_BAND_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        FROM documents)
+), hashed AS (
+  SELECT doc_id,
+         cast(list_aggregate(
+           list_transform(range(1, length(t) + 1),
+                          i -> ascii(t[i])::BIGINT * ({w_sql})[((i - 1) % 8) + 1]),
+           'sum') % 2147483647 AS BIGINT) AS h
+  FROM tok
+), bits AS (
+  SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {sh_expr} AS simhash FROM bits
+)
+SELECT doc_id, simhash, {band_cols} FROM sig
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), group=GROUP)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash over distinct tokens (sign-aggregated crc32 bits)
-    + 4 byte-bands for hamming-neighbor bucketing."""
+    """31-bit SimHash over distinct tokens (sign-aggregated bits of the
+    cross-engine polynomial token hash) + 4 bands (8/8/8/7 bits) for
+    hamming-neighbor bucketing. The polynomial hash (same weights as
+    text_fingerprint) replaces round-1's crc32, which DuckDB lacks —
+    signature construction and banding are now oracle-checked
+    bit-for-bit."""
     d = _docs(spark, sf_dir)
     tok = d.select(
         "doc_id",
@@ -255,29 +398,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
         ).alias("t"),
     )
-    h = F.crc32(F.col("t").cast("binary"))
+    h = _poly_hash(F.col("t"))
     bit_sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{j}")
-            for j in range(32)
+            for j in range(SIMHASH_BITS)
         ]
     )
     simhash = sum(
         F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        for j in range(32)
+        for j in range(SIMHASH_BITS)
     )
     out = bit_sums.select("doc_id", simhash.cast("long").alias("simhash"))
     return out.select(
         "doc_id",
         "simhash",
         *[
-            F.shiftright(F.col("simhash"), 8 * k)
-            .bitwiseAND(F.lit(255))
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit(2**width - 1))
             .cast("int")
             .alias(f"band{k}")
-            for k in range(4)
+            for k, (off, width) in enumerate(_SIMHASH_BAND_BITS)
         ],
     )
 
@@ -285,21 +428,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_MAX_HAMMING = 3
 
 
-@register("dedup_simhash_pairs", oracle=None, group=GROUP)
+def _simhash_pairs_oracle() -> str:
+    base = _simhash_oracle().rstrip()
+    # reuse the signature pipeline, then band-join + hamming verify
+    body = base[: base.rindex("SELECT doc_id, simhash")]
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {k} AS k, "
+        f"cast((simhash >> {off}) & {2**width - 1} AS int) AS v FROM sig"
+        for k, (off, width) in enumerate(_SIMHASH_BAND_BITS)
+    )
+    return (
+        body
+        + f""", bands AS (
+  {band_rows}
+), cold AS (
+  SELECT doc_id, simhash, k, v
+  FROM (SELECT doc_id, simhash, k, v,
+               count(*) OVER (PARTITION BY k, v) AS bsz
+        FROM bands)
+  WHERE bsz <= {MAX_BAND_BUCKET}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
+FROM cold a JOIN cold b
+  ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+    )
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle(), group=GROUP)
 def dedup_simhash_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: candidates from byte-band
-    collisions, verified by exact hamming distance.
+    """SimHash near-duplicate pairs: candidates from band collisions,
+    verified by exact hamming distance.
 
-    Pigeonhole guarantee: with 4 bands of 8 bits, any pair within
-    hamming distance 3 differs in at most 3 bands, so at least one band
+    Pigeonhole guarantee: with 4 bands, any pair within hamming
+    distance 3 differs in at most 3 bands, so at least one band
     matches exactly — the equi-join on (band index, band value) has
     100% recall at max_hamming <= 3 while shuffling only band-bucket
-    collisions, never the O(n²) pair space. Verification is JVM-side
-    bit_count(xor) on the full 32-bit signatures. Output: (doc_a,
-    doc_b, hamming), one row per pair (multi-band collisions deduped).
-    Rows-only check (crc32 has no DuckDB twin); recovery of planted
+    collisions, never the O(n²) pair space. Mega-buckets (>
+    MAX_BAND_BUCKET docs sharing a band value — boilerplate-identical
+    clusters, dedup_exact's job) are dropped before the join, trading
+    bounded recall loss on exact-dup clusters for a hard pair-count
+    bound. Verification is JVM-side bit_count(xor) on the full
+    signatures; the DuckDB oracle replicates hash, banding, cap, join,
+    and verify bit-for-bit. Output: (doc_a, doc_b, hamming), one row
+    per pair (multi-band collisions deduped); recovery of planted
     near-dups is unit-tested against token-level edits."""
     sig = dedup_simhash(spark, sf_dir)
     bands = sig.select(
@@ -316,6 +492,13 @@ def dedup_simhash_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.k").alias("k"), F.col("b.v").alias("v"))
+    hot = (
+        bands.groupBy("k", "v")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > MAX_BAND_BUCKET)
+        .select("k", "v")
+    )
+    bands = bands.join(F.broadcast(hot), ["k", "v"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = a.join(
         b,
