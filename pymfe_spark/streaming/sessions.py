@@ -5,8 +5,11 @@ the as-of predicate in batch backfill — SURVEY.md §1.2), but the
 session operator has a genuine streaming twin: ``session_window`` with
 a watermark. Semantics match the batch sessionizer
 (operators/temporal.py): a session closes when no turn arrives within
-the gap; late turns beyond the watermark are dropped rather than
-corrupting closed sessions.
+the gap. Watermark contract (verified batch-by-batch in tests): a
+session stays open for merging until the watermark passes its end;
+once finalized (emitted in append mode), later-arriving turns older
+than the watermark are dropped — a closed session is never grown,
+re-emitted, or shadowed by a late duplicate.
 
 Used with ``Trigger.AvailableNow`` this doubles as incremental batch:
 each invocation processes only new files — the streaming flavor of the
@@ -29,16 +32,18 @@ def streaming_session_stats(
     input_dir: str,
     gap: str = "30 minutes",
     watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """readStream over a transcript directory -> watermarked
     session-window aggregation. Returns the streaming DataFrame; caller
     attaches writeStream (tests use trigger(availableNow=True) +
-    memory sink)."""
-    stream = (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .parquet(input_dir)
-        .withWatermark("ts", watermark)
-    )
+    memory sink). ``max_files_per_trigger`` forces multiple
+    micro-batches so watermark advancement between batches (late-data
+    dropping) is exercised."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir).withWatermark("ts", watermark)
     return stream.groupBy(
         F.col("conv_id"), F.session_window("ts", gap)
     ).agg(

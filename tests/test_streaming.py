@@ -52,6 +52,76 @@ def test_streaming_sessions_match_batch(spark):
     )
 
 
+def test_streaming_drops_late_data_after_session_finalized(spark):
+    """Watermark semantics (the streaming no-late-leakage contract):
+    once the watermark passes a session's end and the session is
+    finalized (emitted in append mode), a late turn for it must be
+    DROPPED — it neither grows the closed session nor spawns a second
+    emitted session. (Rows arriving before finalization merge — the
+    standard Spark session-window semantics; the watermark bounds how
+    long a session stays open, verified empirically batch by batch.)"""
+    import time as _t
+
+    import pandas as pd
+
+    src = "/tmp/late_in"
+    ckpt = "/tmp/late_ckpt"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def write_file(rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.2)  # distinct mod-times -> deterministic batch order
+
+    # batch 0: the session (2 turns, window 10:00-10:35)
+    write_file(
+        [
+            ("c1", 0, "user", "hello", None, "2026-01-01 10:00:00"),
+            ("c1", 1, "assistant", "hi", None, "2026-01-01 10:05:00"),
+        ]
+    )
+    # batches 1-2: clock turns advance the 2h watermark to 18:00+,
+    # far past the session end -> the session finalizes and is emitted
+    write_file([("clock", 0, "user", "t1", None, "2026-01-01 20:00:00")])
+    write_file([("clock", 1, "user", "t2", None, "2026-01-01 20:01:00")])
+    # batch 3: a LATE c1 turn (10:06, eight hours below the watermark)
+    write_file(
+        [
+            ("c1", 2, "user", "late!", None, "2026-01-01 10:06:00"),
+            ("clock", 2, "user", "t3", None, "2026-01-01 20:02:00"),
+        ]
+    )
+    write_file([("clock", 3, "user", "t4", None, "2026-01-01 20:03:00")])
+
+    from pymfe_spark.streaming import streaming_session_stats
+
+    out = streaming_session_stats(
+        spark, src, gap="30 minutes", watermark="2 hours",
+        max_files_per_trigger=1,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.table("late_stream").toPandas()
+    c1 = res[res["conv_id"] == "c1"]
+    assert len(c1) == 1, c1
+    assert int(c1.iloc[0]["n_turns"]) == 2
+    assert pd.Timestamp(c1.iloc[0]["last_ts"]) == pd.Timestamp(
+        "2026-01-01 10:05:00"
+    )
+
+
 def test_stateful_incremental_features_match_batch(spark):
     """applyInPandasWithState over multiple micro-batches must equal a
     one-shot batch aggregation: the state merge is the partial-
