@@ -207,28 +207,30 @@ MAX_BAND_BUCKET = 64
 def _poly_hash(col: Column) -> Column:
     """The cross-engine polynomial string hash (same weights and
     modulus as textops.text_fingerprint, whose oracle proves Spark and
-    DuckDB agree bit-for-bit): sum(ascii(c_i) * 31^(i mod 8)) mod
-    2^31-1. Replaces round-1's crc32, which DuckDB lacks — with it the
-    WHOLE MinHash pipeline (hash -> affine permutations -> min ->
-    banding -> candidate join) is oracle-checkable."""
-    from pymfe_spark.operators.textops import FP_WEIGHTS
+    DuckDB agree bit-for-bit). Replaces round-1's crc32, which DuckDB
+    lacks — with it the WHOLE MinHash pipeline (hash -> affine
+    permutations -> min -> banding -> candidate join) is
+    oracle-checkable."""
+    from pymfe_spark.operators.textops import poly_hash
 
-    w_arr = F.array(*[F.lit(w) for w in FP_WEIGHTS])
-    terms = F.transform(
-        F.sequence(F.lit(1), F.length(col)),
-        lambda i: F.ascii(F.substring(col, i, F.lit(1))).cast("long")
-        * F.element_at(w_arr, (F.pmod(i - 1, F.lit(8)) + 1).cast("int")),
-    )
-    return F.pmod(
-        F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x),
-        F.lit(_P),
-    )
+    return poly_hash(col)
+
+
+# 4-gram combiner weights: the token-hash composition
+# h(gram) = sum_j (h(token_j) * 31^(8j)) mod P continues the per-char
+# weight scheme across token boundaries. Products stay < 2^62 and each
+# is reduced mod P before summing (4 terms < 4P), so both engines run
+# exact int64 arithmetic.
+GRAM_C = [pow(31, 8 * j, _P) for j in range(4)]
 
 
 def _minhash_oracle() -> str:
     from pymfe_spark.operators.textops import FP_WEIGHTS
 
     w_sql = "[" + ", ".join(str(w) for w in FP_WEIGHTS) + "]"
+    gram_expr = " + ".join(
+        f"(hw[i.i + {j}] * {GRAM_C[j]}) % {_P}" for j in range(4)
+    )
     sig_cols = ", ".join(
         f"min(({MH_A[k]}::BIGINT * h + {MH_B[k]}) % {_P}) AS mh{k}"
         for k in range(MINHASH_K)
@@ -241,17 +243,17 @@ def _minhash_oracle() -> str:
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
   FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id,
-         w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] || '_' || w[i.i+3] AS s
-  FROM toks, unnest(range(1, greatest(len(w) - 2, 1))) AS i(i)
-), hashed AS (
+), th AS (
   SELECT doc_id,
-         cast(list_aggregate(
-           list_transform(range(1, length(s) + 1),
-                          i -> ascii(s[i])::BIGINT * ({w_sql})[((i - 1) % 8) + 1]),
-           'sum') % {_P} AS BIGINT) AS h
-  FROM sh
+         list_transform(w, t ->
+           cast(list_aggregate(
+             list_transform(range(1, length(t) + 1),
+                            i -> ascii(t[i])::BIGINT * ({w_sql})[((i - 1) % 8) + 1]),
+             'sum') % {_P} AS BIGINT)) AS hw
+  FROM toks
+), hashed AS (
+  SELECT DISTINCT doc_id, ({gram_expr}) % {_P} AS h
+  FROM th, unnest(range(1, greatest(len(hw) - 2, 1))) AS i(i)
 ), sig AS (
   SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id
 ), bands AS (
@@ -290,14 +292,50 @@ def dedup_minhash_lsh(
     DuckDB-oracle-checked bit-for-bit. At 100 TB this composes with an
     exact-Jaccard verify on the candidate pairs (the dedup_ngram
     oracle shape) — 1-row bands maximize recall, the verify restores
-    precision."""
-    sh = shingle_table(spark, sf_dir)
-    h = _poly_hash(F.col("s"))
+    precision.
+
+    Physical strategy for the hashing: each TOKEN is poly-hashed once
+    and 4-gram hashes are composed from the token-hash array with
+    fixed weights (GRAM_C) — ~4x less character work than hashing
+    materialized shingle strings (every token sits in up to 4 grams),
+    and the shingle strings are never built at all. The token-hash
+    array is materialized as a column between steps: lambda bodies and
+    aggregate expressions embed their argument subtrees (no CSE), so
+    inlining would re-hash every token per gram / per aggregate."""
+    from pymfe_spark.operators.textops import poly_hash
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("w"),
+    )
+    th = toks.select(
+        "doc_id", F.transform("w", lambda t: poly_hash(t)).alias("hw")
+    )
+    k4 = F.size(F.col("hw")) - 3
+    gram = F.transform(
+        F.sequence(F.lit(1), F.greatest(k4, F.lit(1))),
+        lambda i: F.pmod(
+            sum(
+                F.pmod(
+                    F.element_at(F.col("hw"), (i + j).cast("int"))
+                    * F.lit(GRAM_C[j]),
+                    F.lit(_P),
+                )
+                for j in range(4)
+            ),
+            F.lit(_P),
+        ),
+    )
+    grams = F.when(k4 >= 1, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    sh = th.select("doc_id", F.explode(grams).alias("h"))
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.pmod(F.lit(MH_A[k]) * h + F.lit(MH_B[k]), F.lit(_P))).alias(
-                f"mh{k}"
-            )
+            F.min(
+                F.pmod(F.lit(MH_A[k]) * F.col("h") + F.lit(MH_B[k]), F.lit(_P))
+            ).alias(f"mh{k}")
             for k in range(MINHASH_K)
         ]
     )
@@ -392,13 +430,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature construction and banding are now oracle-checked
     bit-for-bit."""
     d = _docs(spark, sf_dir)
+    # hash materialized pre-aggregation: 31 sum() expressions would
+    # otherwise each re-evaluate the hash per row (no CSE across
+    # aggregate expressions)
     tok = d.select(
         "doc_id",
         F.explode(
             F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
         ).alias("t"),
-    )
-    h = _poly_hash(F.col("t"))
+    ).select("doc_id", _poly_hash(F.col("t")).alias("h"))
+    h = F.col("h")
     bit_sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(

@@ -32,6 +32,29 @@ def _tokens(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda x: x != "")
 
 
+def poly_hash(col: Column) -> Column:
+    """Cross-engine polynomial string hash:
+    sum(ascii(c_i) * 31^(i mod 8)) mod 2^31-1.
+
+    Spark side iterates the split-to-chars array with transform's
+    index-aware lambda — O(len) work, where a substring(s, i, 1) per
+    position would be O(len²) (each substring re-scans the prefix).
+    DuckDB oracles use the range+s[i] form; values are bit-identical
+    (proven by the text_fingerprint gate row). A trailing empty element
+    from split contributes ascii('') = 0 past every real term, so it
+    cannot perturb the sum."""
+    w_arr = F.array(*[F.lit(w) for w in FP_WEIGHTS])
+    terms = F.transform(
+        F.split(col, ""),
+        lambda c, i: F.ascii(c).cast("long")
+        * F.element_at(w_arr, (F.pmod(i, F.lit(8)) + 1).cast("int")),
+    )
+    return F.pmod(
+        F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x),
+        F.lit(_P),
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -167,19 +190,10 @@ FROM documents
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-aware document fingerprint: positional polynomial hash
     sum(ascii(c_i) * 31^(i mod 8)) mod 2^31-1 — pure integer arithmetic,
-    bit-identical across engines (rolling-hash analogue without a fold)."""
+    bit-identical across engines (rolling-hash analogue without a fold);
+    see poly_hash for the O(len) evaluation strategy."""
     d = _docs(spark, sf_dir)
-    w_arr = F.array(*[F.lit(w) for w in FP_WEIGHTS])
-    terms = F.transform(
-        F.sequence(F.lit(1), F.length("text")),
-        lambda i: F.ascii(F.substring(F.col("text"), i, F.lit(1))).cast("long")
-        * F.element_at(w_arr, (F.pmod(i - 1, F.lit(8)) + 1).cast("int")),
-    )
-    fp = F.pmod(
-        F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x),
-        F.lit(_P),
-    )
-    return d.select("doc_id", fp.alias("fingerprint"))
+    return d.select("doc_id", poly_hash(F.col("text")).alias("fingerprint"))
 
 
 _BYSOURCE_ORACLE = """
