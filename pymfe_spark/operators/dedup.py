@@ -170,9 +170,14 @@ def dedup_ngram_jaccard(
     # hot-shingle list via groupBy (map-side combine absorbs the skew —
     # a window over s would materialize the mega-partition the cap is
     # here to prevent) -> tiny by construction -> broadcast ANTI join,
-    # which drops hot rows with no shuffle of the big side.
+    # which drops hot rows with no shuffle of the big side. Built from
+    # ``shn`` (not ``sh``) so the aggregation branch is the same
+    # subtree as the join sides, making its window exchange reusable at
+    # runtime (AQE exchange reuse; measured 2.46 -> 1.9 s at sf0.1).
+    # At 100 TB the shingle table would be staged/persisted once and
+    # every branch would read the materialization instead.
     hot = (
-        sh.groupBy("s")
+        shn.groupBy("s")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > max_shingle_df)
         .select("s")

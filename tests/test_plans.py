@@ -66,6 +66,34 @@ def test_similarity_broadcasts_query_side(spark):
     assert "Broadcast" in plan, "query side not broadcast"
 
 
+def test_dedup_caps_are_planned_as_broadcast_anti_joins(spark):
+    """The hot-key caps must exist in the PLAN (round 1 shipped one as
+    a docstring): a broadcast LeftAnti join against the tiny aggregated
+    hot list, never a shuffle of the big side by the hot key."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash_pairs"):
+        plan = plan_of(spark, name)
+        assert re.search(r"BroadcastHashJoin.*LeftAnti|LeftAnti.*Broadcast", plan), (
+            f"{name}: hot-key cap not planned as a broadcast anti join"
+        )
+
+
+def test_backfill_staged_read_prunes_partitions(spark, tmp_path):
+    """Each backfill bucket pass must read 1/n_buckets of the staged
+    input via partition pruning, not re-scan the table."""
+    from pyspark.sql import functions as F2
+
+    from pymfe_spark.operators.backfill import _stage_input
+    from pymfe_spark.operators.base import turns
+
+    staged = str(tmp_path / "staged")
+    _stage_input(spark, turns(spark, SF_SMOKE), staged, n_buckets=4)
+    df = spark.read.parquet(staged).filter(F2.col("bucket") == 1)
+    plan = explain_str(df)
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*= 1", plan), (
+        "bucket filter did not reach PartitionFilters"
+    )
+
+
 def test_asof_union_plan_has_single_sort_exchange(spark):
     """The as-of window strategy: exactly one exchange feeding one
     window sort over the union (plus AQE wrappers)."""
@@ -143,6 +171,55 @@ def test_expanding_extraction_zero_leakage(spark):
             assert (np.isnan(a) and np.isnan(b)) or a == b, (
                 row.conv_id, row.turn_idx, name, a, b,
             )
+
+
+def test_mega_conversation_heavy_groups_capped(spark):
+    """Skew containment: a planted mega-conversation must not blow up
+    the O(n²) kernels — heavy groups (clustering/concept/complexity)
+    compute on the max_kernel_turns PREFIX (point-in-time-safe slice,
+    equal to extracting the truncated conversation), while cheap
+    groups still see every turn."""
+    import pandas as pd
+
+    from pymfe_spark.plans.extractor import MFESpark
+
+    n_mega, cap = 20_000, 256
+    rng = np.random.RandomState(7)
+
+    def turns_pdf(conv, n):
+        return pd.DataFrame(
+            {
+                "conv_id": [conv] * n,
+                "turn_idx": range(n),
+                "role": ["user", "assistant"] * (n // 2),
+                "tool": [None, "exec"] * (n // 2),
+                "text_len": rng.uniform(10, 500, n),
+                "ts_delta_s": rng.uniform(1, 60, n),
+            }
+        )
+
+    mega = turns_pdf("mega", n_mega)
+    small = turns_pdf("small", 40)
+    df = spark.createDataFrame(pd.concat([mega, small]))
+    ex = MFESpark(groups=("general", "clustering"), max_kernel_turns=cap)
+    out = (
+        ex.extract(df)
+        .toPandas()
+        .set_index(["conv_id", "mtf_name"])["mtf_val"]
+    )
+    # cheap group sees the full conversation
+    assert out[("mega", "nr_inst")] == n_mega
+    # heavy group equals extraction of the truncated conversation
+    trunc = spark.createDataFrame(mega.iloc[:cap])
+    ref = (
+        MFESpark(groups=("clustering",), max_kernel_turns=cap)
+        .extract(trunc)
+        .toPandas()
+        .set_index("mtf_name")["mtf_val"]
+    )
+    for name in ("ch", "sil", "vdb", "nre"):
+        a, b = out[("mega", name)], ref[name]
+        assert (np.isnan(a) and np.isnan(b)) or a == b, (name, a, b)
 
 
 def test_extraction_input_layout_independent(spark):
