@@ -37,10 +37,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """Equivalent DuckDB SQL per query; omitted entries (oracle=None)
-    get the driver's rows-only check."""
+    """Equivalent DuckDB SQL per query; omitted entries (oracle=None,
+    or test-only oracles excluded from the gate's 50-query record) get
+    the driver's rows-only check."""
     return {
         name: e.oracle
         for name, e in sorted(load_catalog().items())
-        if e.oracle is not None
+        if e.oracle is not None and e.gate_oracle
     }

@@ -303,3 +303,197 @@ def crosstab_role_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("role", F.coalesce("tool", F.lit("NONE")).alias("tool0"))
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------
+# stride-1 per-turn SQL-tier meta-feature vector: the algebraic subset
+# of the measure registry at EVERY turn, entirely in whole-stage
+# codegen. Complements the Arrow tier's extract_expanding (holistic
+# matrix measures at a stride): at 100 TB the composition is "this
+# query at every turn + Arrow vectors at stride/final turn".
+#
+# Exactness design: cumulative raw power sums S1..S4 of text_len are
+# exact integers in double (values <= 1e3, prefixes <= 1e4 turns ->
+# S4 < 2^53), so the central-moment formulas are deterministic; the
+# only rounding hazards are transcendental calls, pinned by using
+# sqrt (correctly rounded IEEE in both engines) instead of pow, and by
+# summing the entropy terms in sorted order (sort_array + sequential
+# fold == list_sort + list_aggregate) so float addition order matches
+# across engines. The e1071 method-3 corrections replicate
+# /root/reference/pymfe/_summary.py:146-270; running class entropy is
+# info_theory.py:344-389 per prefix.
+# ---------------------------------------------------------------------
+
+_EXPANDING_MFE_ORACLE = with_transcripts_cte(
+    """
+SELECT c.conv_id,
+       cast(c.turn_idx AS int)               AS turn_idx,
+       cast(c.rn AS double)                  AS nr_inst,
+       cast(e.nr_class AS double)            AS nr_class,
+       round(c.s1 / c.rn, 6)                 AS mean_len,
+       round(CASE WHEN c.rn > 1 THEN
+               sqrt((c.s2 - c.s1 * c.s1 / c.rn) / (c.rn - 1))
+             END, 6)                         AS sd_len,
+       round(c.mn, 6)                        AS min_len,
+       round(c.mx, 6)                        AS max_len,
+       round(c.mx - c.mn, 6)                 AS range_len,
+       round(CASE WHEN c.rn >= 2 AND (c.s2 / c.rn - (c.s1 / c.rn) * (c.s1 / c.rn)) > 0 THEN
+               (c.s3 / c.rn - 3 * (c.s1 / c.rn) * (c.s2 / c.rn)
+                + 2 * (c.s1 / c.rn) * (c.s1 / c.rn) * (c.s1 / c.rn))
+               / ((c.s2 / c.rn - (c.s1 / c.rn) * (c.s1 / c.rn))
+                  * sqrt(c.s2 / c.rn - (c.s1 / c.rn) * (c.s1 / c.rn)))
+               * (((c.rn - 1) / c.rn) * sqrt((c.rn - 1) / c.rn))
+             END, 6)                         AS skewness_len,
+       round(CASE WHEN c.rn >= 2 AND (c.s2 / c.rn - (c.s1 / c.rn) * (c.s1 / c.rn)) > 0 THEN
+               (c.s4 / c.rn - 4 * (c.s1 / c.rn) * (c.s3 / c.rn)
+                + 6 * (c.s1 / c.rn) * (c.s1 / c.rn) * (c.s2 / c.rn)
+                - 3 * (c.s1 / c.rn) * (c.s1 / c.rn) * (c.s1 / c.rn) * (c.s1 / c.rn))
+               / ((c.s2 / c.rn - (c.s1 / c.rn) * (c.s1 / c.rn))
+                  * (c.s2 / c.rn - (c.s1 / c.rn) * (c.s1 / c.rn)))
+               * (((c.rn - 1) / c.rn) * ((c.rn - 1) / c.rn)) - 3
+             END, 6)                         AS kurtosis_len,
+       round(log2(c.rn) - e.sclc / c.rn, 6)  AS class_ent
+FROM cums c JOIN ent e ON c.conv_id = e.conv_id AND c.turn_idx = e.turn_idx
+""",
+    extra_ctes=TURNS_SQL
+    + """,
+ cums AS (
+   SELECT conv_id, turn_idx,
+          cast(count(*) OVER w AS double)              AS rn,
+          sum(text_len) OVER w                          AS s1,
+          sum(text_len * text_len) OVER w               AS s2,
+          sum(text_len * text_len * text_len) OVER w    AS s3,
+          sum(text_len * text_len * text_len * text_len) OVER w AS s4,
+          min(text_len) OVER w                          AS mn,
+          max(text_len) OVER w                          AS mx
+   FROM turns
+   WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+ roles AS (SELECT DISTINCT conv_id, role FROM turns),
+ grid AS (
+   SELECT t.conv_id, t.turn_idx, r.role,
+          sum(CASE WHEN t.role = r.role THEN 1 ELSE 0 END)
+            OVER (PARTITION BY t.conv_id, r.role ORDER BY t.turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS c
+   FROM turns t JOIN roles r ON t.conv_id = r.conv_id),
+ ent AS (
+   SELECT conv_id, turn_idx,
+          count(*) AS nr_class,
+          list_aggregate(list_sort(list(c * log2(c))), 'sum') AS sclc
+   FROM grid WHERE c > 0
+   GROUP BY conv_id, turn_idx)""",
+)
+
+
+@register(
+    "expanding_mfe_sql",
+    oracle=_EXPANDING_MFE_ORACLE,
+    group=GROUP,
+    gate_oracle=False,  # gate's 50 oracle slots are full; pytest enforces
+)
+def expanding_mfe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn (stride-1) algebraic meta-feature vector, pure SQL
+    tier: running nr_inst / nr_class / mean / sd / min / max / range /
+    e1071-method-3 skewness+kurtosis of text_len and running class
+    (role) entropy over exactly the prefix turn' <= turn — zero
+    temporal leakage by frame construction, every value
+    DuckDB-oracle-checked (tests/test_oracle_parity.py; excluded from
+    the driver record only because its 50 oracle slots are full).
+
+    Physically: one unbounded-preceding window pass for the exact
+    power sums + one (conv, role) window over an n x r grid for the
+    running entropy + one co-partitioned join — no Python anywhere, so
+    per-turn vectors stream at window speed: ~44k vectors/s at sf0.1
+    local[32] vs ~2k/s emitted by the Arrow tier's full-vector
+    recompute at stride 8 (see BENCH.md)."""
+    t = turns(spark, sf_dir)
+    x = F.col("text_len")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = t.select(
+        "conv_id",
+        "turn_idx",
+        F.count("*").over(w).cast("double").alias("rn"),
+        F.sum(x).over(w).alias("s1"),
+        F.sum(x * x).over(w).alias("s2"),
+        F.sum(x * x * x).over(w).alias("s3"),
+        F.sum(x * x * x * x).over(w).alias("s4"),
+        F.min(x).over(w).alias("mn"),
+        F.max(x).over(w).alias("mx"),
+    )
+    roles = t.select("conv_id", "role").distinct()
+    wcr = (
+        Window.partitionBy("t.conv_id", "r.role")
+        .orderBy("t.turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grid = (
+        t.alias("t")
+        .join(roles.alias("r"), F.col("t.conv_id") == F.col("r.conv_id"))
+        .select(
+            F.col("t.conv_id").alias("conv_id"),
+            F.col("t.turn_idx").alias("turn_idx"),
+            F.sum(
+                F.when(F.col("t.role") == F.col("r.role"), 1).otherwise(0)
+            )
+            .over(wcr)
+            .alias("c"),
+        )
+    )
+    c = F.col("c").cast("double")
+    ent = (
+        grid.filter(F.col("c") > 0)
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.count("*").alias("nr_class"),
+            F.aggregate(
+                F.sort_array(F.collect_list(c * F.log2(c))),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("sclc"),
+        )
+    )
+    rn, s1, s2, s3, s4 = (F.col(k) for k in ("rn", "s1", "s2", "s3", "s4"))
+    mu = s1 / rn
+    m2 = s2 / rn - mu * mu
+    m3 = s3 / rn - 3 * mu * (s2 / rn) + 2 * mu * mu * mu
+    m4 = (
+        s4 / rn
+        - 4 * mu * (s3 / rn)
+        + 6 * mu * mu * (s2 / rn)
+        - 3 * mu * mu * mu * mu
+    )
+    q = (rn - 1) / rn
+    shape_ok = (rn >= 2) & (m2 > 0)
+    return (
+        cums.join(ent, ["conv_id", "turn_idx"])
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            rn.alias("nr_inst"),
+            F.col("nr_class").cast("double").alias("nr_class"),
+            r(s1 / rn).alias("mean_len"),
+            r(
+                F.when(
+                    rn > 1, F.sqrt((s2 - s1 * s1 / rn) / (rn - 1))
+                )
+            ).alias("sd_len"),
+            r(F.col("mn")).alias("min_len"),
+            r(F.col("mx")).alias("max_len"),
+            r(F.col("mx") - F.col("mn")).alias("range_len"),
+            r(
+                F.when(
+                    shape_ok,
+                    m3 / (m2 * F.sqrt(m2)) * (q * F.sqrt(q)),
+                )
+            ).alias("skewness_len"),
+            r(
+                F.when(shape_ok, m4 / (m2 * m2) * (q * q) - 3)
+            ).alias("kurtosis_len"),
+            r(F.log2(rn) - F.col("sclc") / rn).alias("class_ent"),
+        )
+    )

@@ -33,6 +33,11 @@ class QueryEntry:
     fn: QueryFn
     oracle: str | None
     group: str
+    # False -> the oracle is enforced by pytest/tools only, NOT shipped
+    # to the driver gate: the gate records at most 50 queries and all
+    # 50 slots are taken by gate oracles; a 51st would silently push a
+    # recorded oracle query past the cap (the round-1 bug).
+    gate_oracle: bool = True
 
 
 CATALOG: dict[str, QueryEntry] = {}
@@ -53,19 +58,29 @@ _OPERATOR_MODULES = (
 )
 
 
-def register(name: str, oracle: str | None = None, group: str = "misc"):
+def register(
+    name: str,
+    oracle: str | None = None,
+    group: str = "misc",
+    gate_oracle: bool = True,
+):
     """Decorator: add a query to the catalog.
 
-    Queries WITHOUT a DuckDB oracle are registered under a ``zz_``
-    prefix: the driver's correctness gate records at most 50 queries in
-    name order, so oracle-backed queries (the hard signal) must sort
-    before rows-only ones — round 1 silently dropped four oracle-backed
-    queries past the cap (VERDICT.md "What's wrong" #4).
+    Queries the DRIVER sees as rows-only (no oracle, or
+    ``gate_oracle=False``) are registered under a ``zz_`` prefix: the
+    driver's correctness gate records at most 50 queries in name order,
+    so gate-oracle-backed queries (the hard signal) must sort before
+    the rest — round 1 silently dropped four oracle-backed queries
+    past the cap (VERDICT.md "What's wrong" #4). A ``gate_oracle=False``
+    oracle is still enforced by tests/test_oracle_parity.py and
+    tools/check_oracle.py.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
-        key = name if oracle is not None else f"zz_{name}"
-        CATALOG[key] = QueryEntry(name=key, fn=fn, oracle=oracle, group=group)
+        key = name if (oracle is not None and gate_oracle) else f"zz_{name}"
+        CATALOG[key] = QueryEntry(
+            name=key, fn=fn, oracle=oracle, group=group, gate_oracle=gate_oracle
+        )
         return fn
 
     return deco
