@@ -91,6 +91,67 @@ def transform_cat(C: np.ndarray, option: str | None) -> np.ndarray | None:
     return np.hstack(blocks)
 
 
+def infer_column_types(
+    X: np.ndarray,
+    cat_cols: "str | list[int] | None" = "auto",
+    check_bool: bool = False,
+) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """(numeric_idx, categorical_idx) for a mixed 2-D matrix — the
+    _fill_col_ind_by_type semantics (mfe.py:617-687): with
+    ``cat_cols='auto'`` a column is numeric iff every value is an
+    int/float/np.number INSTANCE (type-based, _internal.py:1402-1435
+    isnumeric; string digits stay categorical); ``check_bool`` also
+    flags any 2-distinct-value column categorical (fit default False,
+    mfe.py:913); an explicit index iterable overrides; falsy -> all
+    numeric."""
+    X = np.asarray(X, dtype=object)
+    d = X.shape[1]
+    if not cat_cols:
+        is_cat = np.zeros(d, dtype=bool)
+    elif isinstance(cat_cols, str) and cat_cols.lower() == "auto":
+        numeric_types = (int, float, np.number)
+        is_cat = np.array(
+            [
+                not all(isinstance(v, numeric_types) for v in X[:, j])
+                for j in range(d)
+            ]
+        )
+        if check_bool:
+            is_cat |= np.array(
+                [np.unique(X[:, j].astype(str)).size == 2 for j in range(d)]
+            )
+    elif hasattr(cat_cols, "__len__") and not isinstance(cat_cols, str):
+        is_cat = np.array([j in cat_cols for j in range(d)])
+    else:
+        raise ValueError(
+            f'invalid cat_cols {cat_cols!r}: expecting "auto" or an '
+            "integer iterable"
+        )
+    return (
+        tuple(int(j) for j in np.flatnonzero(~is_cat)),
+        tuple(int(j) for j in np.flatnonzero(is_cat)),
+    )
+
+
+def batch_from_X(
+    X: np.ndarray,
+    y: np.ndarray,
+    cat_cols: "str | list[int] | None" = "auto",
+    check_bool: bool = False,
+    **kwargs,
+):
+    """fit(X, y)-shaped entry: infer the num/cat split
+    (infer_column_types) then assemble the views (batch_from_xy)."""
+    X = np.asarray(X, dtype=object)
+    num_idx, cat_idx = infer_column_types(X, cat_cols, check_bool)
+    X_num = (
+        X[:, num_idx].astype(float)
+        if num_idx
+        else np.empty((X.shape[0], 0))
+    )
+    return batch_from_xy(X_num, X[:, cat_idx], y, **kwargs)
+
+
 def batch_from_xy(
     X_num: np.ndarray,
     X_cat: np.ndarray,

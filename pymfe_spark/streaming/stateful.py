@@ -2,16 +2,22 @@
 feature state via ``applyInPandasWithState``.
 
 The batch engine recomputes a conversation's features from its full
-prefix; the streaming twin keeps O(1) state per conversation (Welford
-count/mean/M2 of text length + role counts) and folds each arriving
-micro-batch in, so a conversation's feature row is always current
-without re-reading history. This is the streaming analogue of the
-algebraic (sum/mean/sd/entropy) subset of the measure registry —
-exactly the decomposition the salted skew aggregation uses in batch
-(operators/skew.py): state merge == partial-aggregate merge.
+prefix; the streaming twin keeps O(1) state per conversation and folds
+each arriving micro-batch in, so a conversation's feature row is
+always current without re-reading history. The state is the algebraic
+sufficient statistic of the measure vector — exact raw power sums
+S1..S4 of text length (exact integers in double at these scales),
+running min/max, and role counts — i.e. exactly the quantities the
+batch stride-1 SQL vector (operators/temporal.py expanding_mfe_sql)
+derives per prefix, and the same decomposition the salted skew
+aggregation uses (operators/skew.py): state merge == partial-aggregate
+merge, so multi-micro-batch arrival order cannot change any output.
 
-Output agrees with the batch aggregation (tested): n_turns, mean/sd of
-text length, role entropy per conv.
+Emitted per update: n_turns, mean/sd/min/max/range and e1071
+method-3 skewness/kurtosis of text length (_summary.py:146-270
+formulas, identical float op order to the batch SQL), role entropy,
+and the distinct-role count. Agreement with the batch aggregation is
+pytest-verified (streaming final state == batch query, multi-batch).
 """
 
 from __future__ import annotations
@@ -19,7 +25,6 @@ from __future__ import annotations
 import json
 import math
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -41,8 +46,12 @@ STATE_SCHEMA = StructType(
     [
         StructField("n_turns", LongType()),  # all rows (count(*))
         StructField("n", LongType()),  # non-null text rows (length stats)
-        StructField("mean", DoubleType()),
-        StructField("m2", DoubleType()),
+        StructField("s1", DoubleType()),  # exact integer power sums
+        StructField("s2", DoubleType()),
+        StructField("s3", DoubleType()),
+        StructField("s4", DoubleType()),
+        StructField("mn", DoubleType()),
+        StructField("mx", DoubleType()),
         StructField("role_json", StringType()),
     ]
 )
@@ -51,18 +60,31 @@ OUT_SCHEMA = StructType(
     [
         StructField("conv_id", StringType()),
         StructField("n_turns", LongType()),
+        StructField("nr_class", LongType()),
         StructField("mean_len", DoubleType()),
         StructField("sd_len", DoubleType()),
+        StructField("min_len", DoubleType()),
+        StructField("max_len", DoubleType()),
+        StructField("range_len", DoubleType()),
+        StructField("skewness_len", DoubleType()),
+        StructField("kurtosis_len", DoubleType()),
         StructField("role_ent", DoubleType()),
     ]
 )
+
+_NAN = float("nan")
 
 
 def _merge_welford(
     n1: int, mean1: float, m2_1: float, n2: int, mean2: float, m2_2: float
 ) -> tuple[int, float, float]:
-    """Chan parallel-variance merge — identical to the batch partial
-    aggregate combine, so streaming state == map-side combine state."""
+    """Chan parallel-variance merge — the canonical stateful-merge
+    identity (streaming state merge == batch partial-aggregate
+    combine), property-tested in tests/test_properties.py. The
+    operator itself now carries exact power sums instead (their merge
+    is plain addition and exactly order-independent), but the Welford
+    form remains the right tool when values are large enough that raw
+    power sums lose integer exactness."""
     if n1 == 0:
         return n2, mean2, m2_2
     if n2 == 0:
@@ -79,38 +101,83 @@ def _update_conv(
 ) -> Iterator[pd.DataFrame]:
     (conv_id,) = key
     if state.exists:
-        n_turns, n, mean, m2, role_json = state.get
+        n_turns, n, s1, s2, s3, s4, mn, mx, role_json = state.get
         roles: dict[str, int] = json.loads(role_json)
     else:
-        n_turns, n, mean, m2, roles = 0, 0, 0.0, 0.0, {}
+        n_turns, n = 0, 0
+        s1 = s2 = s3 = s4 = 0.0
+        mn, mx = math.inf, -math.inf
+        roles = {}
 
     for pdf in pdfs:
         n_turns += len(pdf)
+        for r, c in pdf["role"].value_counts().items():
+            roles[r] = roles.get(r, 0) + int(c)
         # null text is SKIPPED by the batch twin's avg(length(text));
         # astype(str) would count it as the 4-char literal "None"
         lens = pdf["text"].dropna().str.len().to_numpy(dtype=float)
-        for r, c in pdf["role"].value_counts().items():
-            roles[r] = roles.get(r, 0) + int(c)
-        bn = int(lens.size)
-        if bn == 0:
+        if lens.size == 0:
             continue
-        bmean = float(lens.mean())
-        bm2 = float(((lens - bmean) ** 2).sum())
-        n, mean, m2 = _merge_welford(n, mean, m2, bn, bmean, bm2)
+        n += int(lens.size)
+        # power sums are exact integers in double -> the merge is
+        # exactly commutative/associative; arrival order cannot
+        # perturb any emitted value
+        s1 += float(lens.sum())
+        s2 += float((lens**2).sum())
+        s3 += float((lens**3).sum())
+        s4 += float((lens**4).sum())
+        mn = min(mn, float(lens.min()))
+        mx = max(mx, float(lens.max()))
 
-    state.update((n_turns, n, mean, m2, json.dumps(roles, sort_keys=True)))
+    state.update(
+        (
+            n_turns, n, s1, s2, s3, s4, mn, mx,
+            json.dumps(roles, sort_keys=True),
+        )
+    )
+
+    # identical float op order to expanding_mfe_sql / the e1071
+    # method-3 formulas (_summary.py:146-270), sqrt not pow
+    if n > 0:
+        mean = s1 / n
+        sd = math.sqrt((s2 - s1 * s1 / n) / (n - 1)) if n > 1 else _NAN
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        if n >= 2 and m2 > 0:
+            m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+            m4 = (
+                s4 / n
+                - 4 * mu * (s3 / n)
+                + 6 * mu * mu * (s2 / n)
+                - 3 * mu * mu * mu * mu
+            )
+            q = (n - 1) / n
+            skew = m3 / (m2 * math.sqrt(m2)) * (q * math.sqrt(q))
+            kurt = m4 / (m2 * m2) * (q * q) - 3
+        else:
+            skew = kurt = _NAN
+        out_mn, out_mx, rng = mn, mx, mx - mn
+    else:
+        mean = sd = skew = kurt = out_mn = out_mx = rng = _NAN
 
     total = sum(roles.values())
-    ent = -sum(
-        (c / total) * math.log2(c / total) for c in roles.values() if c
-    ) if total else float("nan")
-    sd = math.sqrt(m2 / (n - 1)) if n > 1 else float("nan")
+    ent = (
+        math.log2(total) - sum(sorted(c * math.log2(c) for c in roles.values())) / total
+        if total
+        else _NAN
+    )
     yield pd.DataFrame(
         {
             "conv_id": [conv_id],
             "n_turns": [n_turns],
-            "mean_len": [mean if n else float("nan")],
+            "nr_class": [len(roles)],
+            "mean_len": [mean],
             "sd_len": [sd],
+            "min_len": [out_mn],
+            "max_len": [out_mx],
+            "range_len": [rng],
+            "skewness_len": [skew],
+            "kurtosis_len": [kurt],
             "role_ent": [ent],
         }
     )

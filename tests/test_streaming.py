@@ -129,6 +129,8 @@ def test_stateful_incremental_features_match_batch(spark):
     import math
     import shutil
 
+    import pandas as pd
+
     from pymfe_spark.streaming.stateful import streaming_incremental_features
 
     src = "/tmp/stateful_in"
@@ -170,3 +172,34 @@ def test_stateful_incremental_features_match_batch(spark):
         assert got["n_turns"] == row["n_turns"], conv
         assert math.isclose(got["mean_len"], row["mean_len"], rel_tol=1e-9)
         assert math.isclose(got["sd_len"], row["sd_len"], rel_tol=1e-6)
+
+    # the FULL algebraic vector must agree with the batch stride-1 SQL
+    # twin at each conversation's final turn (expanding_mfe_sql is
+    # itself DuckDB-oracle-checked, so this chains streaming == batch
+    # == oracle); the SQL side rounds to 6 decimals -> abs 1e-6
+    from pymfe_spark.operators.temporal import expanding_mfe_sql
+
+    pit = expanding_mfe_sql(spark, SF_SMOKE).toPandas()
+    last = (
+        pit.sort_values("turn_idx").groupby("conv_id").last()
+    )
+    cols = [
+        ("nr_class", "nr_class"),
+        ("mean_len", "mean_len"),
+        ("sd_len", "sd_len"),
+        ("min_len", "min_len"),
+        ("max_len", "max_len"),
+        ("range_len", "range_len"),
+        ("skewness_len", "skewness_len"),
+        ("kurtosis_len", "kurtosis_len"),
+        ("role_ent", "class_ent"),
+    ]
+    for conv in batch.index:
+        got, exp = final.loc[conv], last.loc[conv]
+        assert got["n_turns"] == exp["nr_inst"], conv
+        for s_col, b_col in cols:
+            a, b = got[s_col], exp[b_col]
+            assert (
+                (pd.isna(a) and pd.isna(b))
+                or math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-6)
+            ), (conv, s_col, a, b)

@@ -219,6 +219,44 @@ def test_transform_cat_none_and_unknown():
         transform_cat(C, "target")
 
 
+def test_infer_column_types_and_batch_from_X():
+    """cat_cols='auto' is TYPE-based (mfe.py:617-687 /
+    _internal.py:1402-1435): float instances -> numeric, str -> cat,
+    string digits stay cat; check_bool flags 2-distinct columns;
+    explicit indices override; the fit-shaped entry reproduces a
+    mix_aids golden end to end."""
+    from pymfe_spark.plans.encode import batch_from_X, infer_column_types
+
+    X = np.array(
+        [
+            [1.0, "a", "10", 5.0],
+            [2.0, "b", "20", 5.0],
+            [3.0, "a", "10", 7.0],
+        ],
+        dtype=object,
+    )
+    num, cat = infer_column_types(X)
+    assert num == (0, 3) and cat == (1, 2)  # "10"/"20" stay categorical
+    # check_bool: col 3 has 2 distinct values -> flagged categorical
+    num_b, cat_b = infer_column_types(X, check_bool=True)
+    assert 3 in cat_b and num_b == (0,)
+    # explicit override and falsy
+    assert infer_column_types(X, cat_cols=[0]) == ((1, 2, 3), (0,))
+    assert infer_column_types(X, cat_cols=None) == ((0, 1, 2, 3), ())
+    with pytest.raises(ValueError, match="cat_cols"):
+        infer_column_types(X, cat_cols="yes")
+
+    # fit-shaped entry on the real mixed fixture: auto split == the
+    # hand split the goldens use
+    data = _load_arff_np(MIX)
+    Xm = data[:, :-1].copy()
+    for j in (2, 3):  # ARFF numerics arrive as str from the raw parse
+        Xm[:, j] = [float(v) for v in Xm[:, j]]
+    b = batch_from_X(Xm, data[:, -1], transform_cat_opt="gray")
+    assert b.orig_num == 2 and b.orig_cat == 2
+    _check(b, "gravity", MIX_STATISTICAL["gravity"])
+
+
 # ---------------------------------------------------------------------
 # scoring registry + landmarking knobs
 # (reference scoring.py:6-28, mfe.py:199-201, landmarking.py:57-236)
