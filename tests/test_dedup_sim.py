@@ -232,6 +232,44 @@ def test_ivf_topk_probes_only_two_lists(spark):
     assert (probed.groupby("query_id")["nb_label"].nunique() <= IVF_NPROBE).all()
 
 
+def test_kmeans_lloyd_inertia_and_ivf_recall(spark):
+    """Distributed spherical k-means: the Lloyd objective (spherical
+    inertia) is non-increasing across iterations; assignments are a
+    partition into <= k clusters; the learned-IVF ANN returns k rows
+    per query drawn from <= nprobe clusters, with cosines identical to
+    brute force on matched pairs."""
+    from pymfe_spark.operators.kmeans import (
+        KMEANS_K,
+        KMEANS_NPROBE,
+        kmeans_assign,
+        kmeans_fit,
+        sim_kmeans_ivf_topk,
+    )
+
+    cents, hist = kmeans_fit(spark, SF_SMOKE, return_history=True)
+    assert len(cents) == KMEANS_K
+    for a, b in zip(hist, hist[1:]):
+        assert b <= a + 1e-6, f"Lloyd inertia increased: {hist}"
+
+    asg = kmeans_assign(spark, SF_SMOKE).toPandas()
+    assert asg["vec_id"].is_unique
+    assert asg["cluster"].between(0, KMEANS_K - 1).all()
+    assert (asg["cos_to_centroid"] <= 1.0 + 1e-6).all()
+
+    ivf = sim_kmeans_ivf_topk(spark, SF_SMOKE).toPandas()
+    bf = sim_topk_bruteforce(spark, SF_SMOKE).toPandas()
+    assert (ivf.groupby("query_id").size() == 5).all()
+    merged = ivf.merge(
+        bf, on=["query_id", "neighbor_id"], suffixes=("_a", "_b")
+    )
+    assert len(merged) > 0, "learned IVF recalled no true neighbors"
+    np.testing.assert_allclose(merged["cos_a"], merged["cos_b"], atol=2e-4)
+    # neighbors drawn only from the probed clusters
+    cl = asg.set_index("vec_id")["cluster"]
+    got = ivf.assign(c=ivf["neighbor_id"].map(cl))
+    assert (got.groupby("query_id")["c"].nunique() <= KMEANS_NPROBE).all()
+
+
 def test_multimodal_resize_contract(spark):
     """Resize keeps 1-in/1-out with the stubbed raster-size contract."""
     from pymfe_spark.operators.multimodal import multimodal_resize
