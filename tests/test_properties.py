@@ -21,8 +21,16 @@ from pymfe_spark.plans.extractor import _equal_freq_bins, rescale_numeric
 from pymfe_spark.plans.measures import _conc
 from pymfe_spark.streaming.stateful import _merge_welford
 
+# allow_subnormal=False: at denormal densities (~5e-324) quantile
+# midpoints round onto the subnormal grid and scale denominators
+# degenerate — sklearn's scalers break identically there; the
+# properties under test are about normal-range data
 finite = st.floats(
-    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    min_value=-1e6,
+    max_value=1e6,
+    allow_nan=False,
+    allow_infinity=False,
+    allow_subnormal=False,
 )
 vec = arrays(np.float64, st.integers(2, 60), elements=finite)
 
