@@ -226,3 +226,100 @@ def docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# end-to-end curation pipeline: the composition the individual
+# operators exist for — dedup -> quality gate -> language gate ->
+# per-(source, lang) yield report. One declarative plan: Catalyst
+# fuses the filters into the scan side of the dedup window and the
+# final aggregation map-side-combines, so the whole pipeline is
+# scan -> window(norm) -> filter -> agg at any scale.
+# ---------------------------------------------------------------------
+
+_PIPELINE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, lang, text,
+         min(doc_id) OVER (PARTITION BY lower(trim(text))) AS canonical_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL})))
+           * 1.0 / len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS stop_ratio,
+         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
+           / length(text) AS punct_ratio,
+         len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))
+           * 1.0 / len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS ttr
+  FROM documents
+), kept AS (
+  SELECT *,
+         0.5 * ttr + 0.3 * (1.0 - punct_ratio)
+           + 0.2 * least(stop_ratio * 10.0, 1.0) AS quality_score
+  FROM scored
+  WHERE doc_id = canonical_id        -- exact-dedup survivors
+    AND n_words >= 20                -- length gate
+    AND stop_ratio >= 0.02           -- language gate ('en' heuristic)
+)
+SELECT source, lang,
+       cast(count(*) AS bigint)          AS n_docs_kept,
+       cast(sum(n_words) AS bigint)      AS n_tokens_kept,
+       round(avg(quality_score), 6)      AS avg_quality
+FROM kept
+WHERE quality_score >= 0.5
+GROUP BY source, lang
+"""
+
+
+@register(
+    "pipeline_training_data",
+    oracle=_PIPELINE_ORACLE,
+    group=GROUP,
+    gate_oracle=False,  # gate's 50 oracle slots are full; pytest enforces
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in ONE declarative plan:
+    exact dedup (keep each cluster's canonical doc) -> length gate
+    (>= 20 tokens) -> language gate (the 'en' stopword heuristic) ->
+    quality gate (composite score >= 0.5) -> per-(source, lang) yield
+    report (docs kept, tokens kept, mean quality). The per-doc
+    operators (dedup_exact / text_quality / text_langid) are this
+    pipeline's stages exposed individually; composing them
+    declaratively lets Catalyst collapse everything into
+    scan -> window(norm) -> filter -> partial agg — no intermediate
+    materialization, which is the point at 100 TB."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n
+    punct_ratio = F.length(
+        F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")
+    ) / F.length("text")
+    ttr = F.size(F.array_distinct(toks)) / n
+    quality = (
+        0.5 * ttr
+        + 0.3 * (F.lit(1.0) - punct_ratio)
+        + 0.2 * F.least(stop_ratio * 10.0, F.lit(1.0))
+    )
+    norm = F.lower(F.trim(F.col("text")))
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.min("doc_id").over(Window.partitionBy(norm)).alias("canonical_id"),
+        n.alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality_score"),
+    )
+    kept = scored.filter(
+        (F.col("doc_id") == F.col("canonical_id"))
+        & (F.col("n_words") >= 20)
+        & (F.col("stop_ratio") >= 0.02)
+        & (F.col("quality_score") >= 0.5)
+    )
+    return kept.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_words").alias("n_tokens_kept"),
+        r(F.avg("quality_score")).alias("avg_quality"),
+    )
