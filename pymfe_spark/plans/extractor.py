@@ -129,6 +129,11 @@ class KernelConfig:
     max_kernel_turns: int = 4096
     rescale: str | None = None
     transform_cat: str | None = None
+    # fit(transform_num=..., num_bins=...) analogue (mfe.py:908,
+    # _internal.py:1550-1624): False drops the derived equal-frequency
+    # discretization from the C view; num_bins overrides floor(n^(1/3))
+    transform_num: bool = True
+    num_bins: int | None = None
     lm_sample_frac: float = 1.0
     num_cv_folds: int = 10
     score: str = "accuracy"
@@ -170,8 +175,11 @@ def _batch_from_arrays(
     if enc is not None:
         N = np.hstack([N, enc])
     N = rescale_numeric(N, cfg.rescale)
-    len_bin = _equal_freq_bins(text_len).astype(object)
-    C = np.column_stack([role, tool, len_bin])
+    if cfg.transform_num:
+        len_bin = _equal_freq_bins(text_len, cfg.num_bins).astype(object)
+        C = np.column_stack([role, tool, len_bin])
+    else:
+        C = np.column_stack([role, tool])
     return ConvBatch(
         N=N, C=C, y=role, orig_cat=2, orig_num=3, config=cfg.batch_config()
     )
@@ -355,6 +363,8 @@ class MFESpark:
         max_kernel_turns: int = 4096,
         rescale: str | None = None,
         transform_cat: str | None = None,
+        transform_num: bool = True,
+        num_bins: int | None = None,
         lm_sample_frac: float = 1.0,
         num_cv_folds: int = 10,
         score: str = "accuracy",
@@ -399,11 +409,15 @@ class MFESpark:
         if unknown:
             raise ValueError(f"unknown groups: {sorted(unknown)}")
         self.groups = tuple(groups)
+        if num_bins is not None and num_bins <= 0:
+            raise ValueError("num_bins must be a positive integer or None")
         self.cfg = KernelConfig(
             summaries=tuple(summaries),
             max_kernel_turns=max_kernel_turns,
             rescale=rescale,
             transform_cat=transform_cat,
+            transform_num=transform_num,
+            num_bins=num_bins,
             lm_sample_frac=lm_sample_frac,
             num_cv_folds=num_cv_folds,
             score=score,

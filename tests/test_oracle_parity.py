@@ -34,3 +34,23 @@ def test_rows_only_query_runs(spark, name):
     df = entry.fn(spark, SF_SMOKE)
     assert df.count() > 0, f"{name} returned no rows"
     assert len(df.schema.fields) > 0
+
+
+def test_driver_gate_budget_invariants():
+    """The driver records at most 50 queries in name order (round 1
+    silently dropped four oracle-backed ones past the cap). Invariants:
+    at most 50 gate oracles; every non-gate query carries the zz_
+    prefix so ALL gate oracles sort inside the record."""
+    gate = sorted(
+        n for n, e in CATALOG.items() if e.oracle is not None and e.gate_oracle
+    )
+    rest = sorted(
+        n for n, e in CATALOG.items() if e.oracle is None or not e.gate_oracle
+    )
+    assert len(gate) <= 50, f"{len(gate)} gate oracles exceed the 50-query record"
+    assert all(not n.startswith("zz_") for n in gate)
+    assert all(n.startswith("zz_") for n in rest), (
+        "non-gate queries must zz_-sort past the cap: "
+        f"{[n for n in rest if not n.startswith('zz_')]}"
+    )
+    assert max(gate) < min(rest)  # every gate oracle inside the record

@@ -424,6 +424,38 @@ def test_invalid_knobs_raise():
         MFESpark(lm_sample_frac=0.0)
     with pytest.raises(ValueError, match="score"):
         MFESpark(score="auc")
+    with pytest.raises(ValueError, match="num_bins"):
+        MFESpark(num_bins=0)
+
+
+def test_transform_num_knobs():
+    """fit(transform_num=False) drops the derived discretization from
+    the C view (nr_cat unchanged — X semantics); num_bins overrides the
+    floor(n^(1/3)) default (_internal.py:1574-1624)."""
+    import pandas as pd
+
+    from pymfe_spark.plans.extractor import KernelConfig, build_batch
+
+    n = 27
+    rng = np.random.RandomState(1)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * n,
+            "turn_idx": range(n),
+            "role": ["user", "assistant", "tool"] * (n // 3),
+            "tool": [None, "exec", None] * (n // 3),
+            "text_len": rng.uniform(10, 500, n),
+            "ts_delta_s": rng.uniform(1, 60, n),
+        }
+    )
+    default = build_batch(pdf)
+    off = build_batch(pdf, cfg=KernelConfig(transform_num=False))
+    wide = build_batch(pdf, cfg=KernelConfig(num_bins=9))
+    assert default.C.shape[1] == 3 and off.C.shape[1] == 2
+    assert np.unique(default.C[:, 2]).size <= 3  # floor(27^(1/3)) = 3
+    assert np.unique(wide.C[:, 2]).size > 3  # num_bins=9 widens
+    # attribute counts keep X semantics either way
+    assert MEASURES["nr_cat"].fn(default) == MEASURES["nr_cat"].fn(off) == 2.0
 
 
 # ---------------------------------------------------------------------
