@@ -4,12 +4,19 @@ Registered into the same registry as plans.measures; all pure numpy via
 plans.ml. Parity targets cited per measure; documented deviations
 (no sklearn in this environment):
 
-- landmarking CV folds are per-class contiguous chunks
-  (sklearn StratifiedKFold(shuffle=False) semantics, not bit-identical
-  fold boundaries); learners are from-scratch numpy equivalents.
+- landmarking CV folds are BIT-IDENTICAL to sklearn's
+  StratifiedKFold(shuffle=False) (plans.ml.stratified_kfold replicates
+  _make_test_folds: first-appearance class encoding + sorted-interleave
+  allocation); the seeded lm_sample_frac subsample replays the
+  reference's exact np.random MT19937 stream. Verified against the
+  reference's own published iris landmarking goldens: ALL 7 measures
+  exact at lm_sample_frac=0.5, 5 of 7 (+1 mean-only) at 1.0
+  (tests/test_reference_goldens.py).
 - worst_node/elite_nn rank features by full-CART gini importance
-  computed per training fold (landmarking.py:239-290 does the same via
-  sklearn).
+  computed per training fold via np.argsort (landmarking.py:239-290
+  does the same via sklearn); on the FULL data the selection can
+  differ where sklearn's split-RNG permutes near-tied importances
+  (petal length vs width on iris) — the one remaining deviation.
 - complexity n1/n2/n3/lsc use the gower normalized distance matrix
   (complexity.py:450-497); t3/t4 use eigen-PCA for the 95%-variance
   component count.
@@ -111,11 +118,19 @@ def _best_node(b: ConvBatch) -> np.ndarray:
 
 @measure("random_node", "landmarking", needs_y=True)
 def _random_node(b: ConvBatch) -> np.ndarray:
-    """Depth-1 DT on one seeded-random feature (landmarking.py:397-504)."""
-    rng = np.random.RandomState(SEED)
+    """Depth-1 DT on ONE seeded-random feature shared by every fold —
+    the reference draws rand_ind_attr once, before the fold loop
+    (landmarking.py:482-486: np.random.seed(random_state);
+    np.random.randint(0, d, size=1)); RandomState(seed) replays the
+    same MT19937 stream."""
+    N, _ = _lm_data(b)
+    f = int(
+        np.random.RandomState(b.config.get("seed", SEED)).randint(
+            0, N.shape[1], size=1
+        )[0]
+    )
 
     def fp(Xtr, ytr, Xte, fold_i):
-        f = int(rng.randint(0, Xtr.shape[1]))
         return (
             NumpyCART(max_depth=1)
             .fit(Xtr[:, [f]], ytr)
@@ -128,11 +143,13 @@ def _random_node(b: ConvBatch) -> np.ndarray:
 @measure("worst_node", "landmarking", needs_y=True)
 def _worst_node(b: ConvBatch) -> np.ndarray:
     """Depth-1 DT on the least-important feature per training fold
-    (landmarking.py:504-624; importance precompute 239-290)."""
+    (landmarking.py:504-624): imp_rank = np.argsort(importances) of a
+    full DT fit on the fold's training split, feature = imp_rank[0]
+    (argsort's introsort tie order, not argmin's first-minimum)."""
     imps = _fold_importances(b)
 
     def fp(Xtr, ytr, Xte, fold_i):
-        f = int(np.argmin(imps[fold_i]))
+        f = int(np.argsort(imps[fold_i])[0])
         return (
             NumpyCART(max_depth=1)
             .fit(Xtr[:, [f]], ytr)
@@ -144,11 +161,12 @@ def _worst_node(b: ConvBatch) -> np.ndarray:
 
 @measure("elite_nn", "landmarking", needs_y=True)
 def _elite_nn(b: ConvBatch) -> np.ndarray:
-    """1-NN on the most-important feature (landmarking.py:933-1050)."""
+    """1-NN on the most-important feature per training fold
+    (landmarking.py:933-1050): feature = np.argsort(importances)[-1]."""
     imps = _fold_importances(b)
 
     def fp(Xtr, ytr, Xte, fold_i):
-        f = int(np.argmax(imps[fold_i]))
+        f = int(np.argsort(imps[fold_i])[-1])
         return one_nn_fit_predict(Xtr[:, [f]], ytr, Xte[:, [f]])
 
     return _cv_scores(b, fp)

@@ -32,26 +32,42 @@ import numpy as np
 
 
 def stratified_kfold(y: np.ndarray, k: int = 10):
-    """Yield (train_idx, test_idx) pairs; per-class contiguous chunks.
+    """Yield (train_idx, test_idx) pairs replicating sklearn's
+    StratifiedKFold(shuffle=False)._make_test_folds EXACTLY: classes
+    encoded by first appearance, per-fold-per-class allocation from the
+    sorted interleave bincount (fold i's class quota = bincount of
+    y_sorted[i::k]), each class's occurrences assigned to folds in
+    data order. Bit-identical fold boundaries let the landmarking
+    kernels reproduce the reference's own published goldens, including
+    the lm_sample_frac subsample cases where class counts are uneven
+    (a per-class array_split puts the larger chunks in different folds
+    and every downstream accuracy shifts).
 
     Raises ValueError when the rarest class has fewer than ``k``
     members (mirrors sklearn so the landmarking kernel degrades to NaN
     through the exception-containment path)."""
-    classes, counts = np.unique(y, return_counts=True)
-    if counts.min() < k:
+    _, y_first, y_inv = np.unique(y, return_index=True, return_inverse=True)
+    # sklearn orders classes by first appearance in the data
+    _, class_perm = np.unique(y_first, return_inverse=True)
+    y_encoded = class_perm[y_inv]
+    n_classes = y_first.size
+    y_counts = np.bincount(y_encoded)
+    if y_counts.min() < k:
         raise ValueError(
             f"n_splits={k} greater than member count of the rarest class"
         )
-    folds: list[list[int]] = [[] for _ in range(k)]
-    for c in classes:
-        idx = np.flatnonzero(y == c)
-        splits = np.array_split(idx, k)
-        for f, part in enumerate(splits):
-            folds[f].extend(part.tolist())
+    y_order = np.sort(y_encoded)
+    allocation = np.asarray(
+        [np.bincount(y_order[i::k], minlength=n_classes) for i in range(k)]
+    )
+    test_folds = np.empty(y.size, dtype=int)
+    for c in range(n_classes):
+        folds_for_class = np.arange(k).repeat(allocation[:, c])
+        test_folds[y_encoded == c] = folds_for_class
     all_idx = np.arange(y.size)
     for f in range(k):
-        test = np.sort(np.array(folds[f], dtype=int))
-        train = np.setdiff1d(all_idx, test, assume_unique=False)
+        test = all_idx[test_folds == f]
+        train = all_idx[test_folds != f]
         yield train, test
 
 
