@@ -220,6 +220,73 @@ KRKP_LANDMARKING = {
 }
 
 
+# mixed-type ML goldens (reference test_model_based.py dataset-0 /
+# test_landmarking.py:20-26, random_state=1234): model-based 13/14 +
+# nodes_repeated mean-only (reuse distribution shifts with sklearn's
+# tie-split attribute choice, mean exact); landmarking 6/7 exact
+# (including elite_nn and worst_node — the full-importance ties that
+# affect iris do not arise here) + linear_discr mean-only (the
+# eigen-LDA differs from sklearn's svd solver by one prediction in one
+# fold on the near-singular encoded matrix).
+MIX_MODEL_BASED = {
+    "leaves": 13,
+    "leaves_branch": [4.6153846, 1.4455945],
+    "leaves_corrob": [0.07692308, 0.058791243],
+    "leaves_homo": [84.933334, 41.648125],
+    "leaves_per_class": [0.5, 0.05439285],
+    "nodes": 12,
+    "nodes_per_attr": 1.0909090909090908,
+    "nodes_per_inst": 0.24,
+    "nodes_per_level": [2.0, 0.8944272],
+    "nodes_repeated": [3.0],  # mean-only (see note)
+    "tree_depth": [3.84, 1.6753109],
+    "tree_imbalance": [0.16146065, 0.113601856],
+    "tree_shape": [0.20192307, 0.1227767],
+    "var_importance": [0.09090909, 0.1993217],
+}
+
+MIX_LANDMARKING = {
+    "best_node": [0.64, 0.15776213],
+    "elite_nn": [0.56000006, 0.15776213],
+    "linear_discr": [0.52],  # mean-only (see note)
+    "naive_bayes": [0.66, 0.13498971],
+    "one_nn": [0.26000002, 0.13498971],
+    "random_node": [0.4, 0.0],
+    "worst_node": [0.4, 0.0],
+}
+
+
+@pytest.mark.parametrize("name", sorted(MIX_MODEL_BASED))
+def test_mix_model_based_gray_golden(mix_batch, name):
+    gold = MIX_MODEL_BASED[name]
+    import warnings as _w
+
+    with np.errstate(all="ignore"), _w.catch_warnings():
+        _w.simplefilter("ignore")
+        v = np.asarray(MEASURES[name].fn(mix_batch), dtype=float)
+    got = (
+        [float(v.mean()), float(v.std(ddof=1))][: len(gold)]
+        if isinstance(gold, list)
+        else [float(v.mean())]
+    )
+    gold = gold if isinstance(gold, list) else [gold]
+    assert np.allclose(got, gold, atol=0.001, rtol=0.05), (name, got, gold)
+
+
+@pytest.mark.parametrize("name", sorted(MIX_LANDMARKING))
+def test_mix_landmarking_gray_golden(name):
+    import warnings as _w
+
+    b = _batch(MIX)
+    b.config.update({"seed": 1234})
+    gold = MIX_LANDMARKING[name]
+    with np.errstate(all="ignore"), _w.catch_warnings():
+        _w.simplefilter("ignore")
+        v = np.asarray(MEASURES[name].fn(b), dtype=float)
+    got = [float(v.mean()), float(v.std(ddof=1))][: len(gold)]
+    assert np.allclose(got, gold, atol=0.001, rtol=0.05), (name, got, gold)
+
+
 @pytest.mark.parametrize("name", sorted(KRKP_MODEL_BASED))
 def test_krkp_model_based_gray_golden(krkp_batch, name):
     _check(krkp_batch, name, KRKP_MODEL_BASED[name] if isinstance(
