@@ -48,11 +48,11 @@ def _histogram(v: np.ndarray, bins: int = 10) -> np.ndarray:
 
 
 def _quantiles(
-    v: np.ndarray, package: tuple = (0.0, 0.25, 0.5, 0.75, 1.0)
+    v: np.ndarray, q: tuple = (0.0, 0.25, 0.5, 0.75, 1.0)
 ) -> np.ndarray:
     if v.size == 0:
-        return np.full(len(package), np.nan)
-    return np.quantile(v, package)
+        return np.full(len(q), np.nan)
+    return np.quantile(v, q)
 
 
 def _skewness_m3(v: np.ndarray) -> float:
@@ -147,9 +147,9 @@ def summarize(
     analogue of the reference's ``{mtd_name: {arg: val}}`` kwargs
     pass-through (mfe.py:1208-1218, build_mtd_kwargs
     _internal.py:624-708): ``p`` for powersum/pnorm
-    (_summary.py:356-428), ``package`` (quantile list) for quantiles
-    (_summary.py:62-143), ``bins`` for histogram. A nan-variant
-    inherits its base summary's kwargs."""
+    (_summary.py:356-428), ``q`` (quantile list) for quantiles
+    (numpy-interpolation semantics, _summary.py:62-143), ``bins`` for
+    histogram. A nan-variant inherits its base summary's kwargs."""
     arr = np.atleast_1d(np.asarray(values, dtype=float))
     if arr.size == 1 and np.ndim(values) == 0:
         return {name: float(arr[0])}

@@ -271,6 +271,29 @@ def test_iris_landmarking_golden(frac, name):
     assert np.allclose(got, gold, atol=0.001, rtol=0.05), (name, got, gold)
 
 
+def test_summary_reference_goldens():
+    """The sigma layer against the reference's own summary-test values
+    (/root/reference/tests/test_summary.py): 5-bin histogram of 1..10
+    is uniform; numpy-interpolation quantiles; method-3 skewness of a
+    symmetric vector is 0; method-3 kurtosis of 1..10; ddof=1 ->
+    NaN on singletons (sd/var and nan variants)."""
+    from pymfe_spark.functions.summary import SUMMARY_REGISTRY
+
+    mf = np.arange(1.0, 11.0)
+    assert np.allclose(
+        SUMMARY_REGISTRY["histogram"](mf, bins=5), [0.2] * 5
+    )
+    assert np.allclose(
+        SUMMARY_REGISTRY["quantiles"](mf), [1.0, 3.25, 5.5, 7.75, 10.0]
+    )
+    assert np.allclose(SUMMARY_REGISTRY["skewness"](mf), 0.0)
+    assert np.allclose(
+        SUMMARY_REGISTRY["kurtosis"](mf), -1.5616363636363637
+    )
+    for s in ("sd", "var", "nansd", "nanvar"):
+        assert np.isnan(SUMMARY_REGISTRY[s](np.array([1.0])))
+
+
 def test_iris_exempted_measures_sane():
     """t1 / density / cls_coef / hubs / nr_norm: goldens predate the
     current reference implementations (see module docstring) — assert

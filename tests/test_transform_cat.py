@@ -445,7 +445,7 @@ def test_summary_kwargs_routing():
         "m",
         v,
         ("powersum", "pnorm", "quantiles", "nanpowersum"),
-        {"powersum": {"p": 3}, "pnorm": {"p": 1}, "quantiles": {"package": (0.0, 1.0)}},
+        {"powersum": {"p": 3}, "pnorm": {"p": 1}, "quantiles": {"q": (0.0, 1.0)}},
     )
     assert out["m.powersum"] == 36.0  # 1 + 8 + 27
     assert out["m.pnorm"] == 6.0  # L1
