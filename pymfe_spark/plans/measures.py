@@ -639,11 +639,15 @@ def _mut_inf(b: ConvBatch) -> np.ndarray:
 @measure("attr_conc", "info-theory")
 def _attr_conc(b: ConvBatch) -> np.ndarray:
     """Goodman-Kruskal tau for every ORDERED column pair, max 12 columns
-    sampled (info_theory.py:198-274; cap at 219-263)."""
+    sampled (info_theory.py:198-274; cap at 219-263). The sample
+    replays the reference's seeded np.random.choice stream
+    (random_state from the batch config); column order within the
+    sample only permutes the output vector — the pair multiset the
+    summaries see is identical."""
     d = b.C.shape[1]
     cols = np.arange(d)
     if d > 12:
-        rng = np.random.RandomState(1234)
+        rng = np.random.RandomState(b.config.get("seed", 1234))
         cols = np.sort(rng.choice(d, 12, replace=False))
     out = []
     for i in cols:

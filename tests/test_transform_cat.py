@@ -287,6 +287,39 @@ def test_mix_landmarking_gray_golden(name):
     assert np.allclose(got, gold, atol=0.001, rtol=0.05), (name, got, gold)
 
 
+# info-theory goldens on kr-vs-kp (reference test_infotheo.py:39-46,
+# random_state=1234): the C view here is the raw 36-column categorical
+# matrix; attr_conc exercises the seeded <=12-column sample (the
+# reference's np.random stream replayed).
+KRKP_INFOTHEORY = {
+    "attr_conc": [0.017922703, 0.057748884],
+    "attr_ent": [0.59014829, 0.33852165],
+    "class_conc": [0.02313025, 0.04485300],
+    "class_ent": 0.99857554,
+    "eq_num_attr": 52.14040170,
+    "joint_ent": [1.56957216, 0.33197232],
+    "mut_inf": [0.01915167, 0.03918710],
+    "ns_ratio": 29.81446298,
+}
+
+
+@pytest.mark.parametrize("name", sorted(KRKP_INFOTHEORY))
+def test_krkp_infotheory_golden(name):
+    import warnings as _w
+
+    b = _batch(KRKP)
+    b.config.update({"seed": 1234})
+    gold = KRKP_INFOTHEORY[name]
+    with np.errstate(all="ignore"), _w.catch_warnings():
+        _w.simplefilter("ignore")
+        v = np.atleast_1d(np.asarray(MEASURES[name].fn(b), dtype=float))
+    if isinstance(gold, list):
+        got = [float(np.nanmean(v)), float(np.nanstd(v, ddof=1))]
+    else:
+        got, gold = [float(np.nanmean(v))], [gold]
+    assert np.allclose(got, gold, atol=0.001, rtol=0.05), (name, got, gold)
+
+
 @pytest.mark.parametrize("name", sorted(KRKP_MODEL_BASED))
 def test_krkp_model_based_gray_golden(krkp_batch, name):
     _check(krkp_batch, name, KRKP_MODEL_BASED[name] if isinstance(
