@@ -287,6 +287,76 @@ def test_mix_landmarking_gray_golden(name):
     assert np.allclose(got, gold, atol=0.001, rtol=0.05), (name, got, gold)
 
 
+# clustering / concept / complexity / itemset goldens on mix_aids
+# (reference test_clustering.py:21-28, test_concept.py:24-27,
+# test_complexity.py:43-64, test_itemset.py:23-24) — the distance-tier
+# groups over the gray-encoded N view. Same documented exemptions as
+# the iris table (tests/test_reference_goldens.py): n1/n2/n3/lsc
+# goldens predate the gower default (euclidean-era matrix injected);
+# l3/n4 are RNG-interpolation (mean-only with a 2-misclassification
+# allowance); t1's golden predates the scalar hypersphere rewrite
+# (range-checked in the iris suite).
+MIX_DISTANCE = {
+    "ch": 0.008469636865711082,
+    "int": 5728840.510362266,
+    "nre": 0.6931471805599453,
+    "pb": 0.016754815003958073,
+    "sc": 0,
+    "sil": -0.03842692011975991,
+    "vdb": 58.22425419399301,
+    "vdu": 1.698593922818614e-08,
+    "cohesiveness": [10.055, 1.1869723],
+    "conceptvar": [0.5389795, 0.010408287],
+    "impconceptvar": [5.275, 0.59225446],
+    "wg_dist": [1.4762982, 0.07838156],
+    "c1": 1.0,
+    "c2": 0.0,
+    "f1": [0.98658602, 0.04443099],
+    "f1v": [0.46012273],
+    "f2": [0.18336850],
+    "f3": [0.76],
+    "f4": [0.66],
+    "l1": [0.14747055],
+    "l2": [0.28],
+    "lsc": 0.98,
+    "n1": 1.0,
+    "n2": [0.90155035, 0.12036214],
+    "n3": [1.0, 0.0],
+    "t2": 0.22,
+    "t3": 0.02,
+    "t4": 0.09090909,
+    "one_itemset": [0.24999999, 0.0669328],
+    "two_itemset": [0.38297877, 0.10911008],
+}
+_MIX_EUCLIDEAN_ERA = {"n1", "n2", "n3", "lsc"}
+
+
+@pytest.mark.parametrize("name", sorted(MIX_DISTANCE))
+def test_mix_distance_tier_golden(name):
+    import warnings as _w
+
+    b = _batch(MIX)
+    if name in _MIX_EUCLIDEAN_ERA:
+        N = b.N.astype(float)
+        mn, mx = N.min(0), N.max(0)
+        S = (N - mn) / np.where(mx > mn, mx - mn, 1.0)
+        D = np.sqrt(((S[:, None, :] - S[None, :, :]) ** 2).sum(-1))
+        b._cache["gower_dist"] = (D - D.min()) / (D.max() - D.min())
+    gold = MIX_DISTANCE[name]
+    with np.errstate(all="ignore"), _w.catch_warnings():
+        _w.simplefilter("ignore")
+        v = np.atleast_1d(np.asarray(MEASURES[name].fn(b), dtype=float))
+    if isinstance(gold, list):
+        got = [float(np.nanmean(v)), float(np.nanstd(v, ddof=1))][: len(gold)]
+    else:
+        got, gold = [float(np.nanmean(v))], [gold]
+    assert np.allclose(got, gold, atol=0.001, rtol=0.05, equal_nan=True), (
+        name,
+        got,
+        gold,
+    )
+
+
 # info-theory goldens on kr-vs-kp (reference test_infotheo.py:39-46,
 # random_state=1234): the C view here is the raw 36-column categorical
 # matrix; attr_conc exercises the seeded <=12-column sample (the
