@@ -106,11 +106,16 @@ SELECT conv_id,
        round(cast(count(*) AS double), 6)                 AS nr_inst,
        round(cast(count(DISTINCT role) AS double), 6)     AS nr_class,
        round(ent.class_ent, 6)                            AS class_ent,
+       -- mean/sd columns round to 4 decimals (still ~9 significant
+       -- digits at these magnitudes): the kernel's np.mean uses
+       -- pairwise summation, DuckDB's avg is sequential, and
+       -- microsecond-quantized gaps make the 1-ulp difference land on
+       -- a 6th-decimal rounding boundary about once per 10k convs
        round((avg(text_len) + avg(coalesce(ts_delta_s, 0))
-              + avg(turn_idx)) / 3.0, 6)                  AS mean_mean,
+              + avg(turn_idx)) / 3.0, 4)                  AS mean_mean,
        round((stddev_samp(text_len)
               + stddev_samp(coalesce(ts_delta_s, 0))
-              + stddev_samp(turn_idx)) / 3.0, 6)          AS sd_mean
+              + stddev_samp(turn_idx)) / 3.0, 4)          AS sd_mean
 FROM turns JOIN ent USING (conv_id)
 GROUP BY conv_id, ent.class_ent
 """,
@@ -139,8 +144,8 @@ def mfe_kernel_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pick("nr_inst"), 6).alias("nr_inst"),
         F.round(pick("nr_class"), 6).alias("nr_class"),
         F.round(pick("class_ent"), 6).alias("class_ent"),
-        F.round(pick("mean.mean"), 6).alias("mean_mean"),
-        F.round(pick("sd.mean"), 6).alias("sd_mean"),
+        F.round(pick("mean.mean"), 4).alias("mean_mean"),
+        F.round(pick("sd.mean"), 4).alias("sd_mean"),
     )
 
 
@@ -336,8 +341,9 @@ def mfe_kernel_confidence_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ONEHOT_CHECK_ORACLE = with_transcripts_cte(
     """
 SELECT b.conv_id,
-       round((b.m1 + b.m2 + b.m3 + e.mean_sum) / (3 + e.d_enc), 6) AS mean_mean,
-       round((b.s1 + b.s2 + b.s3 + e.sd_sum) / (3 + e.d_enc), 6)   AS sd_mean,
+       -- 4-decimal rounding: see mfe_kernel_cross_check's oracle note
+       round((b.m1 + b.m2 + b.m3 + e.mean_sum) / (3 + e.d_enc), 4) AS mean_mean,
+       round((b.s1 + b.s2 + b.s3 + e.sd_sum) / (3 + e.d_enc), 4)   AS sd_mean,
        5.0 AS nr_attr,
        3.0 AS nr_num
 FROM base b JOIN enc e ON b.conv_id = e.conv_id
@@ -381,8 +387,8 @@ def mfe_kernel_onehot_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     long_df = ex.extract(turns(spark, sf_dir))
     return long_df.groupBy("conv_id").agg(
-        F.round(_no_nan(_pick("mean.mean")), 6).alias("mean_mean"),
-        F.round(_no_nan(_pick("sd.mean")), 6).alias("sd_mean"),
+        F.round(_no_nan(_pick("mean.mean")), 4).alias("mean_mean"),
+        F.round(_no_nan(_pick("sd.mean")), 4).alias("sd_mean"),
         _no_nan(_pick("nr_attr")).alias("nr_attr"),
         _no_nan(_pick("nr_num")).alias("nr_num"),
     )
