@@ -323,3 +323,56 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").alias("n_tokens_kept"),
         r(F.avg("quality_score")).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------
+# BPE-style pre-tokenization (the GPT-2 pre-tokenizer family, with the
+# lookahead clause dropped so the pattern stays in the RE2 subset that
+# DuckDB shares with Java regex — identical token streams in both
+# engines). Token COUNT under this tokenizer is the standard
+# data-budget unit for LLM corpora; whitespace tokens (text_token_stats
+# above) under-count punctuation-heavy text.
+# ---------------------------------------------------------------------
+
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_SQL = BPE_PATTERN.replace("'", "''")  # SQL string-literal escape
+
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       cast(len(toks) AS bigint)                      AS n_bpe_tokens,
+       cast(len(list_distinct(toks)) AS bigint)       AS n_distinct_bpe,
+       round(length(text) * 1.0 / len(toks), 6)       AS chars_per_token,
+       cast(len(list_filter(toks, t -> regexp_matches(t, '^ ?[0-9]+$')))
+            AS bigint)                                AS n_number_tokens
+FROM (SELECT doc_id, text,
+             regexp_extract_all(text, '{_BPE_SQL}') AS toks
+      FROM documents)
+"""
+
+
+@register(
+    "text_token_stats_bpe",
+    oracle=_BPE_ORACLE,
+    group=GROUP,
+    gate_oracle=False,  # gate's 50 oracle slots are full; pytest enforces
+)
+def text_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under the BPE-ish pre-tokenizer: token count,
+    distinct tokens, chars-per-token (the compression-ratio proxy BPE
+    budgeting uses), numeric-token count. Pure regexp_extract_all —
+    scan -> project, embarrassingly parallel; both engines tokenize
+    with the same RE2-subset pattern, so every value is
+    oracle-checked."""
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe"),
+        r(F.length("text") / n).alias("chars_per_token"),
+        F.size(
+            F.filter(toks, lambda t: t.rlike("^ ?[0-9]+$"))
+        ).cast("long").alias("n_number_tokens"),
+    )
