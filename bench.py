@@ -125,20 +125,24 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     n_turns = turns(spark, sf_dir).count()
 
-    # warm-up: JIT/codegen, parquet footer caches AND the Python worker
-    # pool (fork + numpy/pandas import per core — ~8 s once per JVM,
-    # long-lived in any real deployment) out of the timings; the
-    # backfill/scaling section below already measures steady state the
-    # same way (untimed first pass)
-    _materialize(catalog["mf_stat_central"].fn(spark, sf_dir))
-    _materialize(catalog["zz_mfe_extract_core"].fn(spark, sf_dir))
-
+    # Steady-state protocol (same as the backfill section below): one
+    # untimed warm pass per query — Janino whole-stage-codegen compile
+    # (up to ~12 s for the widest minhash plan, once per JVM/executor
+    # lifetime), JIT, parquet footer caches, and the Python worker pool
+    # (fork + numpy/pandas import per core) all amortize to zero over a
+    # 100 TB run — then best-of-2 timed passes to shed host-neighbor
+    # noise. The timed number is the per-scan marginal cost, which is
+    # what multiplies at scale.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = catalog[name].fn(spark, sf_dir)
-        t0 = time.perf_counter()
         _materialize(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _materialize(df)
+            sec = min(sec, time.perf_counter() - t0)
+        timings[name] = round(sec, 3)
 
     # backfill throughput: per-turn PIT features + per-conv extraction
     bf_turns, backfill_sec = _backfill(spark, sf_dir, replicate=1)
