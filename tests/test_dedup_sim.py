@@ -296,3 +296,61 @@ def test_multimodal_frame_sample_explodes(spark):
     for doc_id, n in n_bytes.items():
         assert counts[doc_id] == n % 7 + 1, doc_id
     assert (out["frame_ms"] == out["frame_idx"] * FRAME_STRIDE_MS).all()
+
+
+def _uf_components(n_nodes, edges):
+    """Reference union-find (test-only truth source)."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_connected_components_chain_and_random(spark):
+    """Star-contraction must match union-find on an adversarial long
+    chain (worst case for naive propagation: diameter = n) plus random
+    edges, in O(log n) rounds."""
+    import random
+
+    from pymfe_spark.operators.dedup_cc import connected_components
+
+    rng = random.Random(7)
+    n = 200
+    chain = [(i, i + 1) for i in range(60)]  # one long path component
+    rand = [(rng.randrange(70, n), rng.randrange(70, n)) for _ in range(80)]
+    edges = [(a, b) for a, b in chain + rand if a != b]
+    truth = _uf_components(n, edges)
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(df).collect()
+    }
+    touched = {x for e in edges for x in e}
+    assert set(got) == touched
+    for node in touched:
+        assert got[node] == truth[node], (node, got[node], truth[node])
+
+
+def test_dedup_clusters_keep_semantics(spark):
+    """Every cluster keeps exactly its min doc_id; sizes sum to the
+    document count; keep=False rows form the removal list."""
+    from pymfe_spark.operators.dedup_cc import dedup_clusters
+    from tests.conftest import SF_SMOKE
+
+    pdf = dedup_clusters(spark, SF_SMOKE).toPandas()
+    assert pdf["doc_id"].is_unique
+    grp = pdf.groupby("cluster")
+    for cluster, g in grp:
+        assert g["doc_id"].min() == cluster
+        assert (g["keep"] == (g["doc_id"] == cluster)).all()
+        assert (g["cluster_size"] == len(g)).all()
+    assert int(pdf.groupby("cluster")["cluster_size"].first().sum()) == len(pdf)
