@@ -157,6 +157,42 @@ def multimodal_resize(
     return d.mapInPandas(_resize_batches(width, height), schema=RESIZE_SCHEMA)
 
 
+_RESIZE_DIGEST_ORACLE = """
+SELECT doc_id,
+       CAST(64 AS INTEGER) AS out_width,
+       CAST(64 AS INTEGER) AS out_height,
+       CAST(4096 AS BIGINT) AS out_bytes,
+       md5(substring(repeat(text, CAST(4096 // greatest(length(text), 1)
+                                       + 1 AS BIGINT)),
+                     1, 4096)) AS payload_md5
+FROM documents
+"""
+
+
+@register(
+    "multimodal_resize_digest",
+    oracle=_RESIZE_DIGEST_ORACLE,
+    group=GROUP,
+    gate_oracle=False,  # gate's 50 oracle slots are full; pytest enforces
+)
+def multimodal_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal_resize with the binary column digested to md5 — this
+    makes the WHOLE mapInPandas resize path value-checkable: the oracle
+    rebuilds the deterministic fake raster (repeat-to-4096 of the
+    payload) in pure SQL and hashes it, so a single flipped byte
+    anywhere in the Arrow batch plumbing fails the gate. (Document
+    text is ASCII, so DuckDB's character-based repeat/substring/md5
+    equals the byte-level transform Spark applies.)"""
+    out = multimodal_resize(spark, sf_dir)
+    return out.select(
+        "doc_id",
+        "out_width",
+        "out_height",
+        "out_bytes",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 FRAME_SCHEMA = (
     "doc_id long, frame_idx int, frame_ms long, frame_sha string"
 )
