@@ -34,6 +34,7 @@ markers stand in (same idempotence contract).
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -140,6 +141,157 @@ def backfill(
         "buckets_run": ran,
         "wall_sec": round(time.time() - t_start, 3),
         "output_dir": output_dir,
+    }
+
+
+def backfill_incremental(
+    spark: SparkSession,
+    delta_df: DataFrame,
+    output_dir: str,
+    delta_id: str,
+    n_buckets: int = 8,
+    extractor: MFESpark | None = None,
+) -> dict:
+    """Apply an append-only batch of new turns to a completed backfill,
+    recomputing feature vectors ONLY for the conversations the delta
+    touches — the feature-store refresh path: a day's new turns must
+    not trigger a corpus-wide recompute.
+
+    Snapshot-style protocol (maps 1:1 onto Iceberg appends):
+
+    1. the delta is staged once under ``_staged_delta/<delta_id>/``,
+       bucket-partitioned like the base staging (idempotent: skipped
+       when its ``_SUCCESS`` exists);
+    2. a conversation's turns are defined as base staging UNION all
+       committed deltas (key-deduped on (conv_id, turn_idx) — the
+       append-only contract makes this a no-op, it only guards a
+       replayed delta);
+    3. for each bucket the delta touches: recompute vectors for the
+       touched conv_ids from the combined turns (partition-pruned to
+       bucket=k on every source), keep every untouched conversation's
+       existing row, swap the bucket directory, then commit an
+       ``_applied/<delta_id>/bucket-k`` marker. A kill between swap
+       and marker replays the bucket; recomputation is deterministic,
+       so the replay is bit-identical (same contract as the full
+       backfill's resume).
+
+    Untouched buckets are never read or written. Lineage rows append
+    per applied bucket, tagged ``<engine_version>+<delta_id>`` so the
+    audit trail distinguishes incremental refreshes from the initial
+    build. Returns a summary dict.
+    """
+    extractor = extractor or MFESpark(groups=("general", "statistical"))
+    staging = os.path.join(output_dir, "_staged_input")
+    delta_root = os.path.join(output_dir, "_staged_delta")
+    delta_dir = os.path.join(delta_root, delta_id)
+    lineage_dir = os.path.join(output_dir, "_lineage")
+    applied_dir = os.path.join(output_dir, "_applied", delta_id)
+    os.makedirs(applied_dir, exist_ok=True)
+
+    if not os.path.exists(os.path.join(delta_dir, "_SUCCESS")):
+        (
+            delta_df.withColumn(
+                "bucket", _bucket_of(F.col("conv_id"), n_buckets)
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(delta_dir)
+        )
+
+    staged_delta = spark.read.parquet(delta_dir)
+    affected = sorted(
+        r["bucket"]
+        for r in staged_delta.select("bucket").distinct().collect()
+    )
+
+    # combined turn source: base staging + every committed delta
+    deltas = [
+        os.path.join(delta_root, d)
+        for d in sorted(os.listdir(delta_root))
+        if os.path.exists(os.path.join(delta_root, d, "_SUCCESS"))
+    ]
+    base = spark.read.parquet(staging)
+    all_turns = base
+    for d in deltas:
+        all_turns = all_turns.unionByName(spark.read.parquet(d))
+    all_turns = all_turns.dropDuplicates(["conv_id", "turn_idx"])
+
+    t_start = time.time()
+    ran, skipped = [], []
+    for k in affected:
+        marker = os.path.join(applied_dir, f"bucket-{k}")
+        if os.path.exists(marker):
+            skipped.append(k)
+            continue
+        t0 = time.time()
+        touched = (
+            staged_delta.filter(F.col("bucket") == k)
+            .select("conv_id")
+            .distinct()
+        )
+        part = (
+            all_turns.filter(F.col("bucket") == k)
+            .drop("bucket")
+            .join(F.broadcast(touched), "conv_id", "semi")
+        )
+        vec = extract_at_final_turn(part, extractor)
+        new_rows = vec.select(
+            "conv_id",
+            "ts",
+            "n_turns",
+            F.map_keys("features").alias("mtf_names"),
+            F.map_values("features").alias("mtf_vals"),
+        )
+        bucket_path = os.path.join(output_dir, f"bucket={k}")
+        # crash recovery: a kill between the two swap renames leaves
+        # the live path missing and the old content parked — restore
+        # it before recomputing (the replay then proceeds normally)
+        old = os.path.join(output_dir, f"_old-{delta_id}-bucket-{k}")
+        if not os.path.exists(bucket_path) and os.path.exists(old):
+            os.rename(old, bucket_path)
+        keep = spark.read.parquet(bucket_path).join(
+            F.broadcast(touched), "conv_id", "anti"
+        )
+        # tmp/old names deliberately do NOT start with "bucket=": a
+        # crash must never leave a directory that read_backfill's
+        # bucket=* glob would pick up
+        tmp = os.path.join(output_dir, f"_tmp-{delta_id}-bucket-{k}")
+        keep.unionByName(new_rows).write.mode("overwrite").parquet(tmp)
+        # directory swap: the tmp write is fully committed before the
+        # live path changes, so readers never see a partial bucket
+        os.rename(bucket_path, old)
+        os.rename(tmp, bucket_path)
+        shutil.rmtree(old)
+        stats = (
+            spark.read.parquet(bucket_path)
+            .agg(
+                F.count("*").alias("out_rows"),
+                F.sum("n_turns").alias("in_rows"),
+            )
+            .collect()[0]
+        )
+        spark.createDataFrame(
+            [
+                (
+                    k,
+                    int(stats["in_rows"] or 0),
+                    int(stats["out_rows"]),
+                    round(time.time() - t0, 3),
+                    f"{ENGINE_VERSION}+{delta_id}",
+                )
+            ],
+            "bucket int, input_rows long, output_rows long, "
+            "wall_sec double, engine_version string",
+        ).write.mode("append").parquet(lineage_dir)
+        with open(marker, "w") as fh:
+            fh.write(delta_id)
+        ran.append(k)
+    return {
+        "delta_id": delta_id,
+        "buckets_affected": affected,
+        "buckets_run": ran,
+        "buckets_skipped": skipped,
+        "wall_sec": round(time.time() - t_start, 3),
     }
 
 
