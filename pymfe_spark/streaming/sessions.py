@@ -52,3 +52,35 @@ def streaming_session_stats(
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+DOC_STREAM_SCHEMA = "doc_id long, text string, ts timestamp"
+
+
+def streaming_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: readStream over a document directory ->
+    normalize -> ``dropDuplicatesWithinWatermark`` on the normalized
+    text. The first arrival of each distinct document is emitted; any
+    replay within the watermark horizon is suppressed.
+
+    The scale property that matters: state is keyed by norm and
+    EXPIRES once the watermark passes — the dedup store is bounded by
+    the horizon's document volume, not the corpus (an unbounded
+    ``dropDuplicates`` would accrete 100 TB of keys). The batch twin
+    (operators/dedup.py dedup_exact) dedups the full corpus offline;
+    the streaming form guards the ingest front door, and the two
+    compose: horizon dedup at ingest, global dedup in the nightly
+    batch. Equivalence of the kept key set with the batch groupBy is
+    asserted in tests across multi-micro-batch replays."""
+    reader = spark.readStream.schema(DOC_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir).withWatermark("ts", watermark)
+    return stream.withColumn(
+        "norm", F.lower(F.trim(F.col("text")))
+    ).dropDuplicatesWithinWatermark(["norm"])

@@ -203,3 +203,54 @@ def test_stateful_incremental_features_match_batch(spark):
                 (pd.isna(a) and pd.isna(b))
                 or math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-6)
             ), (conv, s_col, a, b)
+
+
+def test_streaming_dedup_matches_batch_keyset(spark):
+    """Multi-micro-batch replayed documents: the streaming dedup must
+    emit each normalized text exactly once, and its kept key set must
+    equal the batch groupBy's."""
+    import pandas as pd
+
+    from pymfe_spark.streaming.sessions import streaming_dedup_exact
+
+    in_dir, ckpt = "/tmp/dedup_stream_in", "/tmp/dedup_stream_ckpt"
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # three files = three micro-batches; dups planted within AND
+    # across batches (including case/whitespace variants)
+    base = pd.Timestamp("2025-03-01 00:00:00")
+    batches = [
+        [(1, "alpha beta", 0), (2, "gamma delta", 1), (3, "Alpha beta ", 2)],
+        [(4, "alpha beta", 60), (5, "epsilon zeta", 61)],
+        [(6, "GAMMA DELTA", 120), (7, "eta theta", 121), (8, "eta theta", 122)],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            [
+                {"doc_id": d, "text": t, "ts": base + pd.Timedelta(seconds=s)}
+                for d, t, s in rows
+            ]
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            in_dir
+        )
+
+    out = streaming_dedup_exact(spark, in_dir, max_files_per_trigger=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("dedup_stream").toPandas()
+
+    all_rows = [r for b in batches for r in b]
+    expect_norms = {t.strip().lower() for _, t, _ in all_rows}
+    assert sorted(got["norm"]) == sorted(expect_norms)
+    assert got["norm"].is_unique
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
