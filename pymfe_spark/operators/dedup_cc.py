@@ -110,7 +110,19 @@ def connected_components(edges: DataFrame) -> DataFrame:
             break
         prev_sig = sig
     # fixpoint edges are stars (node -> component min); the min itself
-    # labels itself
+    # labels itself. Validate star shape — in a star set no parent is
+    # itself a child — so a pathological non-convergence (the _MAX_ROUNDS
+    # fuse) fails loudly instead of returning wrong labels.
+    non_star = (
+        cur.select(F.col("b").alias("x"))
+        .join(cur.select(F.col("a").alias("x")).distinct(), "x", "semi")
+        .count()
+    )
+    if non_star:
+        raise RuntimeError(
+            f"connected_components did not converge to stars within "
+            f"{_MAX_ROUNDS} rounds ({non_star} chained edges remain)"
+        )
     roots = cur.select(F.col("b").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -392,3 +392,65 @@ def mfe_kernel_onehot_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         _no_nan(_pick("nr_attr")).alias("nr_attr"),
         _no_nan(_pick("nr_num")).alias("nr_num"),
     )
+
+
+_ITEMSET_CHECK_ORACLE = with_transcripts_cte(
+    """
+SELECT onea.conv_id,
+       round(onea.m, 6)  AS one_mean,
+       round(onea.sd, 6) AS one_sd,
+       round(twoa.m, 6)  AS two_mean,
+       round(twoa.sd, 6) AS two_sd
+FROM onea JOIN twoa USING (conv_id)
+""",
+    extra_ctes="""
+ t2 AS (SELECT conv_id, role, coalesce(tool, 'NONE') AS tool0
+        FROM transcripts),
+ nn AS (SELECT conv_id, count(*) AS n FROM t2 GROUP BY conv_id),
+ ca AS (SELECT conv_id, role AS val, count(*) AS c
+        FROM t2 GROUP BY conv_id, role),
+ cb AS (SELECT conv_id, tool0 AS val, count(*) AS c
+        FROM t2 GROUP BY conv_id, tool0),
+ one AS (SELECT x.conv_id, x.c * 1.0 / nn.n AS s
+         FROM (SELECT * FROM ca UNION ALL SELECT * FROM cb) x
+         JOIN nn USING (conv_id)),
+ cab AS (SELECT conv_id, role, tool0, count(*) AS c
+         FROM t2 GROUP BY conv_id, role, tool0),
+ xorp AS (SELECT p.conv_id,
+                 (pca.c + pcb.c - 2 * coalesce(cab.c, 0)) * 1.0 / p.n AS s
+          FROM (SELECT ca.conv_id, ca.val AS item_a, cb.val AS item_b, nn.n
+                FROM ca JOIN cb ON ca.conv_id = cb.conv_id
+                     JOIN nn ON ca.conv_id = nn.conv_id) p
+          JOIN ca pca ON p.conv_id = pca.conv_id AND p.item_a = pca.val
+          JOIN cb pcb ON p.conv_id = pcb.conv_id AND p.item_b = pcb.val
+          LEFT JOIN cab ON p.conv_id = cab.conv_id
+                       AND p.item_a = cab.role AND p.item_b = cab.tool0),
+ onea AS (SELECT conv_id, avg(s) AS m, stddev_samp(s) AS sd
+          FROM one GROUP BY conv_id),
+ twoa AS (SELECT conv_id, avg(s) AS m, stddev_samp(s) AS sd
+          FROM xorp GROUP BY conv_id)""",
+)
+
+
+@register(
+    "mfe_kernel_itemset_check",
+    oracle=_ITEMSET_CHECK_ORACLE,
+    group=GROUP,
+    gate_oracle=False,  # gate's 50 oracle slots are full; pytest enforces
+)
+def mfe_kernel_itemset_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Itemset-tier cross-check: with transform_num=False the C view is
+    exactly [role, tool] (no derived discretization), so the kernel's
+    pooled one_itemset supports are the role- and tool-value relative
+    frequencies and two_itemset is the XOR support of every
+    (role value, tool value) pair (itemset.py:99-190) — both
+    SQL-expressible, giving the Arrow itemset family a full value
+    oracle (previously golden-only)."""
+    ex = MFESpark(groups=("itemset",), transform_num=False)
+    long_df = ex.extract(turns(spark, sf_dir))
+    return long_df.groupBy("conv_id").agg(
+        F.round(_no_nan(_pick("one_itemset.mean")), 6).alias("one_mean"),
+        F.round(_no_nan(_pick("one_itemset.sd")), 6).alias("one_sd"),
+        F.round(_no_nan(_pick("two_itemset.mean")), 6).alias("two_mean"),
+        F.round(_no_nan(_pick("two_itemset.sd")), 6).alias("two_sd"),
+    )
