@@ -92,6 +92,86 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), g2 AS (
+  SELECT doc_id, 2 AS n, w[i.i] || '_' || w[i.i+1] AS g
+  FROM toks, unnest(range(1, len(w))) AS i(i) WHERE len(w) >= 2
+), g3 AS (
+  SELECT doc_id, 3 AS n, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
+  FROM toks, unnest(range(1, len(w) - 1)) AS i(i) WHERE len(w) >= 3
+), counts AS (
+  SELECT doc_id, n, g, count(*) AS c
+  FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+  GROUP BY doc_id, n, g
+)
+SELECT doc_id, n,
+       cast(sum(c) AS bigint)   AS total_grams,
+       cast(count(*) AS bigint) AS distinct_grams,
+       cast(max(c) AS bigint)   AS top_gram_count,
+       round(max(c) * 1.0 / sum(c), 6)        AS top_gram_frac,
+       round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_gram_frac
+FROM counts GROUP BY doc_id, n
+"""
+
+
+@register("text_repetition", oracle=_REPETITION_ORACLE, group=GROUP,
+          gate_oracle=False)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate signals per document — the word
+    2-gram and 3-gram variants of the published large-corpus quality
+    rules (most-frequent-n-gram fraction, duplicate-n-gram fraction):
+    one long row per (doc_id, n in {2,3}).
+
+    Physical shape: tokens materialized once, both gram orders emitted
+    from the SAME scan (explode over n — no second read of the
+    corpus), then count aggregation on (doc_id, n, gram) with map-side
+    combine (repeats collapse before the exchange — exactly the rows
+    this operator hunts), and a second, much smaller aggregation of
+    the per-gram counts. A per-doc array-expression form would avoid
+    the shuffle but is O(tokens²) per document — quadratic in the
+    100k-token docs boilerplate detection exists for — so the
+    two-level aggregation is the scale-correct plan."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
+    tn = toks.select(
+        "doc_id", F.explode(F.array(F.lit(2), F.lit(3))).alias("n"), "w"
+    )
+    k = F.size("w") - (F.col("n") - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(F.col("w"), i, F.col("n")), "_"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ge = tn.select("doc_id", "n", F.explode(grams).alias("g"))
+    counts = ge.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("doc_id", "n")
+        .agg(
+            F.sum("c").alias("total_grams"),
+            F.count("*").alias("distinct_grams"),
+            F.max("c").alias("top_gram_count"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            "total_grams",
+            "distinct_grams",
+            "top_gram_count",
+            r(F.col("top_gram_count") / F.col("total_grams")).alias(
+                "top_gram_frac"
+            ),
+            r(1 - F.col("distinct_grams") / F.col("total_grams")).alias(
+                "dup_gram_frac"
+            ),
+        )
+    )
+
+
 _QUALITY_ORACLE = f"""
 SELECT doc_id,
        round(stop_ratio, 6)  AS stop_ratio,

@@ -51,6 +51,7 @@ _OPERATOR_MODULES = (
     "pymfe_spark.operators.textops",
     "pymfe_spark.operators.dedup",
     "pymfe_spark.operators.dedup_cc",
+    "pymfe_spark.operators.decontam",
     "pymfe_spark.operators.sampling",
     "pymfe_spark.operators.similarity",
     "pymfe_spark.operators.kmeans",
