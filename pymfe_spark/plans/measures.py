@@ -129,6 +129,24 @@ class ConvBatch:
         rho2 = np.clip(rho**2, 0.0, 1.0 - 1e-12)
         return rho2 / (1.0 - rho2)
 
+    def c_codes(self, j: int) -> tuple[np.ndarray, np.ndarray]:
+        """Cached np.unique factorization (values, inverse codes) of
+        C[:, j]. Every info-theory entropy/crosstab reuses it instead
+        of re-sorting the column per measure call — the kernel-local
+        analogue of the reference's precompute_attr cache
+        (info_theory.py:56-155). With ~130 attr_conc pairs plus the
+        per-column entropy family, the repeated np.unique sort was the
+        single hottest line of the whole Arrow kernel."""
+        key = ("ccodes", j)
+        if key not in self._cache:
+            self._cache[key] = np.unique(self.C[:, j], return_inverse=True)
+        return self._cache[key]
+
+    def y_codes(self) -> tuple[np.ndarray, np.ndarray]:
+        if "ycodes" not in self._cache:
+            self._cache["ycodes"] = np.unique(self.y, return_inverse=True)
+        return self._cache["ycodes"]
+
 
 def _cdist(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """Euclidean cdist via the expanded-square identity."""
@@ -148,22 +166,41 @@ def _entropy(counts: np.ndarray, base: float | None = None) -> float:
     return h / np.log(base) if base else h
 
 
+def _tab_from_codes(
+    ai: np.ndarray, na: int, bi: np.ndarray, nb: int
+) -> np.ndarray:
+    """Dense normalized contingency table from precomputed inverse
+    codes. bincount of the flattened pair index builds the same
+    integer-valued table as an element-wise scatter-add; every count
+    and the total are integers represented exactly in float64, so the
+    normalized table is bit-identical to the unique()-per-call form."""
+    tab = np.bincount(ai * nb + bi, minlength=na * nb).astype(float)
+    tab = tab.reshape(na, nb)
+    return tab / tab.sum()
+
+
 def _crosstab_probs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Dense normalized contingency table (zero cells included)."""
     av, ai = np.unique(a, return_inverse=True)
     bv, bi = np.unique(b, return_inverse=True)
-    tab = np.zeros((av.size, bv.size))
-    np.add.at(tab, (ai, bi), 1.0)
-    return tab / tab.sum()
+    return _tab_from_codes(ai, av.size, bi, bv.size)
 
 
-def _joint_ent(a: np.ndarray, b: np.ndarray) -> float:
+def _joint_ent_tab(ptab: np.ndarray) -> float:
     """eps-smoothed joint entropy over the DENSE crosstab
     (info_theory.py:183-195,457-508): scipy.stats.entropy(p + eps,
     base=2) — normalizes internally."""
-    p = _crosstab_probs(a, b).ravel() + EPS
+    p = ptab.ravel() + EPS
     p = p / p.sum()
     return float(-(p * np.log2(p)).sum())
+
+
+def _joint_ent(a: np.ndarray, b: np.ndarray) -> float:
+    return _joint_ent_tab(_crosstab_probs(a, b))
+
+
+def _counts_from_codes(vals: np.ndarray, inv: np.ndarray) -> np.ndarray:
+    return np.bincount(inv, minlength=vals.size)
 
 
 def _col_ent(col: np.ndarray) -> float:
@@ -171,12 +208,12 @@ def _col_ent(col: np.ndarray) -> float:
     return _entropy(cnt, base=2)
 
 
-def _conc(a: np.ndarray, b: np.ndarray, eps: float = 1.0e-8) -> float:
-    """Goodman-Kruskal tau concentration coefficient of a -> b,
-    reference-exact (info_theory.py:198-213): eps added to every cell
-    of the normalized crosstab (rows = a, cols = b), numerator divides
-    by the b-marginals and subtracts the squared a-marginals."""
-    pij = _crosstab_probs(a, b) + eps
+def _conc_tab(pij: np.ndarray, eps: float = 1.0e-8) -> float:
+    """Goodman-Kruskal tau from a normalized crosstab (rows = a,
+    cols = b), reference-exact (info_theory.py:198-213): eps added to
+    every cell, numerator divides by the b-marginals and subtracts the
+    squared a-marginals."""
+    pij = pij + eps
     isum = pij.sum(axis=0)
     jsum2 = float((pij.sum(axis=1) ** 2).sum())
     denom = 1.0 - jsum2
@@ -185,6 +222,12 @@ def _conc(a: np.ndarray, b: np.ndarray, eps: float = 1.0e-8) -> float:
     with np.errstate(invalid="ignore", divide="ignore"):
         num = float((pij**2 / isum).sum()) - jsum2
     return float(num / denom)
+
+
+def _conc(a: np.ndarray, b: np.ndarray, eps: float = 1.0e-8) -> float:
+    """Goodman-Kruskal tau of a -> b (crosstab built per call; the
+    measure kernels use the code-cached path instead)."""
+    return _conc_tab(_crosstab_probs(a, b), eps)
 
 
 def _can_cors(N: np.ndarray, y: np.ndarray, reg: float = 1e-10) -> np.ndarray:
@@ -607,32 +650,45 @@ measure("class_ent", "info-theory", needs_y=True)(
 @measure("attr_ent", "info-theory")
 def _attr_ent(b: ConvBatch) -> np.ndarray:
     """Shannon entropy per categorical column (info_theory.py:277-313).
-    Cached: reused by ns_ratio (precompute-cache analogue)."""
+    Cached: reused by mut_inf and ns_ratio (precompute-cache
+    analogue); counts come from the cached column factorization."""
     if "attr_ent" not in b._cache:
         b._cache["attr_ent"] = np.array(
-            [_col_ent(b.C[:, j]) for j in range(b.C.shape[1])]
+            [
+                _entropy(_counts_from_codes(*b.c_codes(j)), base=2)
+                for j in range(b.C.shape[1])
+            ]
         )
     return b._cache["attr_ent"]
+
+
+def _joint_ent_y_vec(b: ConvBatch) -> np.ndarray:
+    """H(col, y) per column — computed once from cached codes, shared
+    by joint_ent and mut_inf (the reference computes these twice)."""
+    if "joint_ent_y" not in b._cache:
+        yv, yi = b.y_codes()
+        out = []
+        for j in range(b.C.shape[1]):
+            cv, ci = b.c_codes(j)
+            out.append(_joint_ent_tab(_tab_from_codes(ci, cv.size, yi, yv.size)))
+        b._cache["joint_ent_y"] = np.array(out)
+    return b._cache["joint_ent_y"]
 
 
 @measure("joint_ent", "info-theory", needs_y=True)
 def _joint_ent_m(b: ConvBatch) -> np.ndarray:
     """Joint entropy of each column with y (info_theory.py:457-508)."""
-    return np.array([_joint_ent(b.C[:, j], b.y) for j in range(b.C.shape[1])])
+    return _joint_ent_y_vec(b)
 
 
 @measure("mut_inf", "info-theory", needs_y=True)
 def _mut_inf(b: ConvBatch) -> np.ndarray:
     """H(x) + H(y) - H(x,y) (info_theory.py:511-588). Cached: reused by
-    eq_num_attr and ns_ratio."""
+    eq_num_attr and ns_ratio. Element order of the float ops matches
+    the per-column scalar form: (H(x_j) + H(y)) - H(x_j, y)."""
     if "mut_inf" not in b._cache:
         hy = _col_ent(b.y)
-        b._cache["mut_inf"] = np.array(
-            [
-                _col_ent(b.C[:, j]) + hy - _joint_ent(b.C[:, j], b.y)
-                for j in range(b.C.shape[1])
-            ]
-        )
+        b._cache["mut_inf"] = (_attr_ent(b) + hy) - _joint_ent_y_vec(b)
     return b._cache["mut_inf"]
 
 
@@ -641,26 +697,41 @@ def _attr_conc(b: ConvBatch) -> np.ndarray:
     """Goodman-Kruskal tau for every ORDERED column pair, max 12 columns
     sampled (info_theory.py:198-274; cap at 219-263). The sample
     replays the reference's seeded np.random.choice stream
-    (random_state from the batch config); column order within the
-    sample only permutes the output vector — the pair multiset the
-    summaries see is identical."""
+    (random_state from the batch config). Emission order is the
+    reference's nested-loop order; each unordered pair's crosstab is
+    built once and transposed for the reverse direction (the transpose
+    is exact — integer scatter counts)."""
     d = b.C.shape[1]
     cols = np.arange(d)
     if d > 12:
         rng = np.random.RandomState(b.config.get("seed", 1234))
         cols = np.sort(rng.choice(d, 12, replace=False))
+    tabs: dict[tuple[int, int], np.ndarray] = {}
     out = []
     for i in cols:
         for j in cols:
-            if i != j:
-                out.append(_conc(b.C[:, i], b.C[:, j]))
+            if i == j:
+                continue
+            if (j, i) in tabs:
+                tab = tabs.pop((j, i)).T
+            else:
+                iv, ii = b.c_codes(i)
+                jv, ji = b.c_codes(j)
+                tab = _tab_from_codes(ii, iv.size, ji, jv.size)
+                tabs[(i, j)] = tab
+            out.append(_conc_tab(tab))
     return np.array(out) if out else np.array([np.nan])
 
 
 @measure("class_conc", "info-theory", needs_y=True)
 def _class_conc(b: ConvBatch) -> np.ndarray:
     """tau(col -> y) per column (info_theory.py:316-341)."""
-    return np.array([_conc(b.C[:, j], b.y) for j in range(b.C.shape[1])])
+    yv, yi = b.y_codes()
+    out = []
+    for j in range(b.C.shape[1]):
+        cv, ci = b.c_codes(j)
+        out.append(_conc_tab(_tab_from_codes(ci, cv.size, yi, yv.size)))
+    return np.array(out)
 
 
 @measure("eq_num_attr", "info-theory", needs_y=True)
