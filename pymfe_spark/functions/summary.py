@@ -33,11 +33,14 @@ def _clean(values: np.ndarray, drop_nan: bool) -> np.ndarray:
 
 
 def _sd(v: np.ndarray) -> float:
-    return float(np.std(v, ddof=1)) if v.size > 1 else float("nan")
+    # ndarray methods dispatch straight to numpy's _methods (same
+    # result bit-for-bit as np.std/np.mean), skipping the fromnumeric
+    # wrapper — this registry runs ~50x per conversation on tiny arrays
+    return float(v.std(ddof=1)) if v.size > 1 else float("nan")
 
 
 def _var(v: np.ndarray) -> float:
-    return float(np.var(v, ddof=1)) if v.size > 1 else float("nan")
+    return float(v.var(ddof=1)) if v.size > 1 else float("nan")
 
 
 def _histogram(v: np.ndarray, bins: int = 10) -> np.ndarray:
@@ -89,20 +92,20 @@ def _iq_range(v: np.ndarray) -> float:
 
 def _base_registry() -> dict[str, SummaryFn]:
     return {
-        "mean": lambda v: float(np.mean(v)) if v.size else float("nan"),
+        "mean": lambda v: float(v.mean()) if v.size else float("nan"),
         "sd": _sd,
         "var": _var,
         "count": lambda v: float(v.size),
         "histogram": _histogram,
         "iq_range": _iq_range,
         "kurtosis": _kurtosis_m3,
-        "max": lambda v: float(np.max(v)) if v.size else float("nan"),
+        "max": lambda v: float(v.max()) if v.size else float("nan"),
         "median": lambda v: float(np.median(v)) if v.size else float("nan"),
-        "min": lambda v: float(np.min(v)) if v.size else float("nan"),
+        "min": lambda v: float(v.min()) if v.size else float("nan"),
         "quantiles": _quantiles,
-        "range": lambda v: float(np.ptp(v)) if v.size else float("nan"),
+        "range": lambda v: float(v.ptp()) if v.size else float("nan"),
         "skewness": _skewness_m3,
-        "sum": lambda v: float(np.sum(v)) if v.size else float("nan"),
+        "sum": lambda v: float(v.sum()) if v.size else float("nan"),
         "powersum": lambda v, p=2: float(np.sum(v**p)) if v.size else float("nan"),
         "pnorm": lambda v, p=2: (
             float(np.sum(np.abs(v) ** p) ** (1.0 / p)) if v.size else float("nan")

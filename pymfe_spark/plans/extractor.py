@@ -223,39 +223,43 @@ def _measure_rows(
     times: dict[str, float] | None = (
         {} if cfg.measure_time is not None else None
     )
-    for name in measure_names:
-        mdef = MEASURES[name]
-        b = batch
-        if mdef.group in HEAVY_GROUPS and batch.N.shape[0] > cap:
-            if capped is None:
-                capped = _batch_from_arrays(
-                    *(a[:cap] for a in pdf_slice), cfg=cfg
-                )
-            b = capped
-        t0 = _time.perf_counter()
-        try:
-            # degenerate batches (single turn, constant columns) yield
-            # NaN, not warnings/task failures (_internal.py:568-621)
-            with np.errstate(all="ignore"), warnings.catch_warnings():
-                warnings.simplefilter("ignore", RuntimeWarning)
+    # degenerate batches (single turn, constant columns) yield NaN,
+    # not warnings/task failures (_internal.py:568-621). One errstate /
+    # warnings context around the whole loop — entering them per
+    # measure cost ~120 seterr calls per conversation.
+    with np.errstate(all="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        for name in measure_names:
+            mdef = MEASURES[name]
+            b = batch
+            if mdef.group in HEAVY_GROUPS and batch.N.shape[0] > cap:
+                if capped is None:
+                    capped = _batch_from_arrays(
+                        *(a[:cap] for a in pdf_slice), cfg=cfg
+                    )
+                b = capped
+            t0 = _time.perf_counter()
+            try:
                 val = mdef.fn(b)
-        except Exception:
-            val = float("nan")
-        t_measure = _time.perf_counter() - t0
-        t0 = _time.perf_counter()
-        new = summarize(name, val, cfg.summaries, cfg.summary_kwargs)
-        t_summ = _time.perf_counter() - t0
-        rows.update(new)
-        if times is not None:
-            card = max(int(np.asarray(val).size), 1)
-            base = (
-                t_measure
-                if cfg.measure_time.startswith("total")
-                else t_measure / card
-            )
-            extra = t_summ if cfg.measure_time.endswith("_summ") else 0.0
-            for i, key in enumerate(sorted(new)):
-                times[key] = base + (extra if i == 0 else 0.0)
+            except Exception:
+                val = float("nan")
+            t_measure = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            new = summarize(name, val, cfg.summaries, cfg.summary_kwargs)
+            t_summ = _time.perf_counter() - t0
+            rows.update(new)
+            if times is not None:
+                card = max(int(np.asarray(val).size), 1)
+                base = (
+                    t_measure
+                    if cfg.measure_time.startswith("total")
+                    else t_measure / card
+                )
+                extra = (
+                    t_summ if cfg.measure_time.endswith("_summ") else 0.0
+                )
+                for i, key in enumerate(sorted(new)):
+                    times[key] = base + (extra if i == 0 else 0.0)
     return rows, times
 
 

@@ -147,6 +147,27 @@ class ConvBatch:
             self._cache["ycodes"] = np.unique(self.y, return_inverse=True)
         return self._cache["ycodes"]
 
+    def NT(self) -> np.ndarray:
+        """Contiguous transpose of N, cached. The whole per-column
+        statistical tier reduces along the LAST axis of this array:
+        for a C-contiguous (d, n) array numpy applies its pairwise
+        reduction per output element, so ``NT.mean(axis=1)[j]`` is
+        bit-identical to ``np.mean(N[:, j])`` — one vectorized call
+        replaces d small-array calls without changing a single bit.
+        (Reducing axis=0 of N instead would accumulate sequentially
+        across rows — different rounding — which is why the transpose,
+        not an axis flip, is the cacheable form.)"""
+        if "NT" not in self._cache:
+            self._cache["NT"] = np.ascontiguousarray(self.N.T)
+        return self._cache["NT"]
+
+    def n_sorted(self) -> np.ndarray:
+        """Per-column sort of N as sorted rows of NT, cached — shared
+        by t_mean and the distinct-count measures (sparsity, nr_bin)."""
+        if "nsort" not in self._cache:
+            self._cache["nsort"] = np.sort(self.NT(), axis=1)
+        return self._cache["nsort"]
+
 
 def _cdist(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """Euclidean cdist via the expanded-square identity."""
@@ -334,15 +355,29 @@ def _freq_class(b: ConvBatch) -> np.ndarray:
     return cnt / cnt.sum()
 
 
+def _sorted_distinct(s: np.ndarray) -> int:
+    """Distinct count of a SORTED float vector, matching
+    np.unique's NaN handling (all NaNs collapse to one; sort places
+    them at the end)."""
+    if s.size == 0:
+        return 0
+    nn = s[~np.isnan(s)]
+    d = (int((nn[1:] != nn[:-1]).sum()) + 1) if nn.size else 0
+    return d + int(nn.size < s.size)
+
+
 @measure("nr_bin", "general")
 def _nr_bin(b: ConvBatch) -> float:
     """#columns with exactly 2 distinct values (general.py:234-260) —
-    defined over X, so only original attributes count (see _d_cat)."""
+    defined over X, so only original attributes count (see _d_cat).
+    Distinct counts come from the shared per-column sort / cached
+    factorization instead of a fresh np.unique per column."""
+    s = b.n_sorted()
     n = 0
     for j in range(_d_num(b)):
-        n += int(np.unique(b.N[:, j]).size == 2)
+        n += int(_sorted_distinct(s[j]) == 2)
     for j in range(_d_cat(b)):
-        n += int(np.unique(b.C[:, j]).size == 2)
+        n += int(b.c_codes(j)[0].size == 2)
     return float(n)
 
 
@@ -350,57 +385,71 @@ def _nr_bin(b: ConvBatch) -> float:
 
 
 def _per_col(fn):
+    """Per-column scalar form — kept as the readable truth source for
+    tests; the registered measures below are last-axis vectorizations
+    over ConvBatch.NT() that produce bit-identical vectors (numpy's
+    pairwise/partition reductions act per output element when the
+    reduction axis is the last one of a contiguous array)."""
     return lambda b: np.array([fn(b.N[:, j]) for j in range(b.N.shape[1])])
 
 
-measure("mean", "statistical")(_per_col(np.mean))  # 794-814
-measure("median", "statistical")(_per_col(np.median))  # 817-837
-measure("min", "statistical")(_per_col(np.min))  # 840-860
-measure("max", "statistical")(_per_col(np.max))  # 771-791
-measure("range", "statistical")(_per_col(np.ptp))  # 1114-1133
-measure("sd", "statistical")(_per_col(lambda v: np.std(v, ddof=1)))  # 1136-1159
-measure("var", "statistical")(_per_col(lambda v: np.var(v, ddof=1)))  # 1439-1462
+# One vectorized call per measure instead of d small-array calls: at
+# ~5 numeric columns x 11 per-column measures the numpy call overhead
+# was ~1.6 ms of the ~5 ms fixed per-conversation kernel cost.
+measure("mean", "statistical")(lambda b: b.NT().mean(axis=1))  # 794-814
+measure("median", "statistical")(
+    lambda b: np.median(b.NT(), axis=1)
+)  # 817-837
+measure("min", "statistical")(lambda b: b.NT().min(axis=1))  # 840-860
+measure("max", "statistical")(lambda b: b.NT().max(axis=1))  # 771-791
+measure("range", "statistical")(
+    lambda b: np.ptp(b.NT(), axis=1)
+)  # 1114-1133
+measure("sd", "statistical")(
+    lambda b: np.std(b.NT(), axis=1, ddof=1)
+)  # 1136-1159
+measure("var", "statistical")(
+    lambda b: np.var(b.NT(), axis=1, ddof=1)
+)  # 1439-1462
 measure("iq_range", "statistical")(
-    _per_col(lambda v: np.quantile(v, 0.75) - np.quantile(v, 0.25))
+    lambda b: np.quantile(b.NT(), 0.75, axis=1)
+    - np.quantile(b.NT(), 0.25, axis=1)
 )  # 659-678
 measure("mad", "statistical")(
-    _per_col(lambda v: 1.4826 * np.median(np.abs(v - np.median(v))))
+    lambda b: 1.4826
+    * np.median(
+        np.abs(b.NT() - np.median(b.NT(), axis=1)[:, None]), axis=1
+    )
 )  # 741-768
 
 
 @measure("g_mean", "statistical")
 def _g_mean(b: ConvBatch) -> np.ndarray:
     """statistical.py:584-634: negative -> nan, zero -> 0."""
-    out = []
-    for j in range(b.N.shape[1]):
-        v = b.N[:, j]
-        if v.min() < 0:
-            out.append(np.nan)
-        elif v.min() == 0:
-            out.append(0.0)
-        else:
-            out.append(float(np.exp(np.mean(np.log(v)))))
-    return np.array(out)
+    NT = b.NT()
+    mn = NT.min(axis=1)
+    with np.errstate(all="ignore"):
+        gm = np.exp(np.mean(np.log(NT), axis=1))
+    return np.where(mn < 0, np.nan, np.where(mn == 0, 0.0, gm))
 
 
 @measure("h_mean", "statistical")
 def _h_mean(b: ConvBatch) -> np.ndarray:
     """statistical.py:637-656."""
+    NT = b.NT()
     with np.errstate(all="ignore"):
-        return np.array(
-            [v.size / np.sum(1.0 / v) for v in b.N.T]
-        )
+        return NT.shape[1] / (1.0 / NT).sum(axis=1)
 
 
 @measure("t_mean", "statistical")
 def _t_mean(b: ConvBatch) -> np.ndarray:
     """20%-trimmed mean (statistical.py:1411-1436)."""
-    out = []
-    for v in b.N.T:
-        s = np.sort(v)
-        k = int(np.floor(s.size * 0.2))
-        out.append(float(s[k : s.size - k].mean()) if s.size - 2 * k > 0 else np.nan)
-    return np.array(out)
+    s = b.n_sorted()
+    n = s.shape[1]
+    k = int(np.floor(n * 0.2))
+    if n - 2 * k <= 0:
+        return np.full(s.shape[0], np.nan)
+    return s[:, k : n - k].mean(axis=1)
 
 
 def _skew_m3(v: np.ndarray) -> float:
@@ -421,8 +470,65 @@ def _kurt_m3(v: np.ndarray) -> float:
     return float((g2 + 3.0) * (1.0 - 1.0 / n) ** 2 - 3.0)
 
 
-measure("skewness", "statistical")(_per_col(_skew_m3))  # 1310-1365
-measure("kurtosis", "statistical")(_per_col(_kurt_m3))  # 681-738
+def _central_moments(b: ConvBatch) -> tuple[np.ndarray, ...]:
+    """(m2, m3, m4) per column from one shared centered array — the
+    skew/kurt pair recomputed these independently per column before.
+    Each ``.mean(axis=1)`` reduces the last axis, so every moment is
+    bit-identical to the per-column scalar form."""
+    if "cmoments" not in b._cache:
+        NT = b.NT()
+        d0 = NT - NT.mean(axis=1)[:, None]
+        # keep the original's `x ** p` ufuncs: pow() and unrolled
+        # multiplication can differ in the last ulp
+        b._cache["cmoments"] = (
+            (d0**2).mean(axis=1),
+            (d0**3).mean(axis=1),
+            (d0**4).mean(axis=1),
+        )
+    return b._cache["cmoments"]
+
+
+@measure("skewness", "statistical")
+def _skewness(b: ConvBatch) -> np.ndarray:  # 1310-1365
+    n = b.N.shape[0]
+    m2, m3, _ = _central_moments(b)
+    if n < 2:
+        return np.full(m2.shape, np.nan)
+    # final scalar math per column: numpy's VECTOR pow ufunc (SIMD)
+    # rounds m2**1.5 differently from the scalar np.float64 pow by
+    # 1 ulp, so the tail stays in scalar form to match _skew_m3 bitwise
+    return np.array(
+        [
+            (
+                float("nan")
+                if m2[j] == 0
+                else float(m3[j] / m2[j] ** 1.5 * ((n - 1) / n) ** 1.5)
+            )
+            for j in range(m2.size)
+        ]
+    )
+
+
+@measure("kurtosis", "statistical")
+def _kurtosis(b: ConvBatch) -> np.ndarray:  # 681-738
+    n = b.N.shape[0]
+    m2, _, m4 = _central_moments(b)
+    if n < 2:
+        return np.full(m2.shape, np.nan)
+    return np.array(
+        [
+            (
+                float("nan")
+                if m2[j] == 0
+                else float(
+                    (m4[j] / m2[j] ** 2 - 3.0 + 3.0)
+                    * (1.0 - 1.0 / n) ** 2
+                    - 3.0
+                )
+            )
+            for j in range(m2.size)
+        ]
+    )
 
 
 @measure("sparsity", "statistical")
@@ -432,13 +538,16 @@ def _sparsity(b: ConvBatch) -> np.ndarray:
     transform_num/transform_cat output; engine: len_bin and encoded
     role/tool) are excluded."""
     n = b.N.shape[0]
+    if n <= 1:
+        return np.full(_d_num(b) + _d_cat(b), np.nan)
+    s = b.n_sorted()
     vals = []
     for j in range(_d_num(b)):
-        d = np.unique(b.N[:, j]).size
-        vals.append((n / d - 1.0) / (n - 1.0) if n > 1 else np.nan)
+        d = _sorted_distinct(s[j])
+        vals.append((n / d - 1.0) / (n - 1.0))
     for j in range(_d_cat(b)):
-        d = np.unique(b.C[:, j]).size
-        vals.append((n / d - 1.0) / (n - 1.0) if n > 1 else np.nan)
+        d = b.c_codes(j)[0].size
+        vals.append((n / d - 1.0) / (n - 1.0))
     return np.array(vals)
 
 
@@ -446,13 +555,13 @@ def _sparsity(b: ConvBatch) -> np.ndarray:
 def _nr_outliers(b: ConvBatch) -> float:
     """#columns with a boxplot (whis=1.5) outlier (statistical.py:
     1068-1111)."""
-    cnt = 0
-    for v in b.N.T:
-        q1, q3 = np.quantile(v, (0.25, 0.75))
-        iqr = q3 - q1
-        if (v.min() < q1 - 1.5 * iqr) or (v.max() > q3 + 1.5 * iqr):
-            cnt += 1
-    return float(cnt)
+    NT = b.NT()
+    q1, q3 = np.quantile(NT, (0.25, 0.75), axis=1)
+    iqr = q3 - q1
+    out = (NT.min(axis=1) < q1 - 1.5 * iqr) | (
+        NT.max(axis=1) > q3 + 1.5 * iqr
+    )
+    return float(out.sum())
 
 
 @measure("cor", "statistical")
