@@ -431,6 +431,158 @@ FROM (SELECT doc_id, text,
 """
 
 
+# ---------------------------------------------------------------------
+# PII scrubbing (emails / phone numbers / IPv4), the privacy-hygiene
+# pass of published large-corpus recipes. Patterns stay inside the
+# regex subset Java (Spark) and RE2 (DuckDB) share — \b, \d, character
+# classes, non-capturing groups; no lookaround/backrefs — so both
+# engines match identical spans. The synthetic corpus contains no PII,
+# so the catalog query plants a deterministic PII suffix derived from
+# doc_id IN-PLAN (identically in both engines): the oracle then
+# genuinely exercises match + redaction arithmetic, not just zeros.
+# ---------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def scrub_pii(text: Column) -> tuple[Column, Column, Column, Column]:
+    """(n_emails, n_phones, n_ips, redacted_text). Emails are redacted
+    first (their charset overlaps phone/IP digits), then phones, then
+    IPs — the same fixed order as the oracle."""
+    n_em = F.regexp_count(text, F.lit(EMAIL_RE))
+    n_ph = F.regexp_count(text, F.lit(PHONE_RE))
+    n_ip = F.regexp_count(text, F.lit(IPV4_RE))
+    red = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    return n_em, n_ph, n_ip, red
+
+
+_PII_PLANT_SQL = (
+    "text || ' contact user' || cast(doc_id AS varchar) || '@example.com"
+    " or call 555-' || lpad(cast(doc_id % 1000 AS varchar), 3, '0')"
+    " || '-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0')"
+    " || ' from 10.' || cast(doc_id % 256 AS varchar) || '.0.1'"
+)
+
+_PII_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, {_PII_PLANT_SQL} AS aug FROM documents
+)
+SELECT doc_id,
+       cast(len(regexp_extract_all(aug, '{EMAIL_RE}')) AS bigint) AS n_emails,
+       cast(len(regexp_extract_all(aug, '{PHONE_RE}')) AS bigint) AS n_phones,
+       cast(len(regexp_extract_all(aug, '{IPV4_RE}')) AS bigint)  AS n_ips,
+       length(regexp_replace(regexp_replace(regexp_replace(
+           aug, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                '{PHONE_RE}', '<PHONE>', 'g'),
+                '{IPV4_RE}', '<IP>', 'g'))                        AS redacted_chars,
+       length(aug)                                                AS planted_chars
+FROM planted
+"""
+
+
+@register("text_pii_scrub", oracle=_PII_ORACLE, group=GROUP, gate_oracle=False)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction counts over a deterministically
+    PII-planted corpus (each doc gains one email, one phone, one IPv4
+    derived from doc_id — built identically in the oracle, so every
+    match count and redacted length is value-checked). Scan -> project,
+    embarrassingly parallel; regex work is JVM-side codegen."""
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    n_em, n_ph, n_ip, red = scrub_pii(aug)
+    return d.select(
+        "doc_id",
+        n_em.cast("long").alias("n_emails"),
+        n_ph.cast("long").alias("n_phones"),
+        n_ip.cast("long").alias("n_ips"),
+        F.length(red).cast("long").alias("redacted_chars"),
+        F.length(aug).cast("long").alias("planted_chars"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Corpus-level boilerplate discovery: the global most-frequent word
+# 3-grams. Complements text_repetition (per-document signals) — this is
+# the table a curation run reads to build its boilerplate blocklist.
+# ---------------------------------------------------------------------
+
+TOP_NGRAMS_K = 20
+
+_TOP_NGRAMS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS gram
+  FROM toks, unnest(range(1, len(w) - 1)) AS i(i) WHERE len(w) >= 3
+), counts AS (
+  SELECT gram, cast(count(*) AS bigint) AS n_occurrences,
+         cast(count(DISTINCT doc_id) AS bigint) AS n_docs
+  FROM g GROUP BY gram
+)
+SELECT gram, n_occurrences, n_docs,
+       cast(row_number() OVER (ORDER BY n_occurrences DESC, gram) AS bigint)
+         AS rank
+FROM counts
+ORDER BY n_occurrences DESC, gram LIMIT {TOP_NGRAMS_K}
+"""
+
+
+@register(
+    "corpus_top_ngrams", oracle=_TOP_NGRAMS_ORACLE, group=GROUP, gate_oracle=False
+)
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k word 3-grams by occurrence count (deterministic
+    tie-break on the gram itself), with document frequency. Physical
+    shape: gram explode -> ONE (gram) aggregation with map-side combine
+    (count + distinct-doc via two-level agg) -> distributed top-k
+    (TakeOrderedAndProject: per-partition heads merged on the driver —
+    k rows cross the wire per partition, never the gram table). The
+    rank column is computed AFTER the limit on k rows only."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("w"))
+    k = F.size("w") - 2
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(F.col("w"), i, 3), "_"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ge = toks.select("doc_id", F.explode(grams).alias("gram"))
+    counts = ge.groupBy("gram").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("gram")
+    ).limit(TOP_NGRAMS_K)
+    from pyspark.sql.window import Window
+
+    rank_w = Window.orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+    return top.select(
+        "gram",
+        "n_occurrences",
+        "n_docs",
+        F.row_number().over(rank_w).cast("long").alias("rank"),
+    )
+
+
 @register(
     "text_token_stats_bpe",
     oracle=_BPE_ORACLE,

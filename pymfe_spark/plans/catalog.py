@@ -56,6 +56,8 @@ _OPERATOR_MODULES = (
     "pymfe_spark.operators.similarity",
     "pymfe_spark.operators.kmeans",
     "pymfe_spark.operators.multimodal",
+    "pymfe_spark.operators.packing",
+    "pymfe_spark.operators.jsonops",
     "pymfe_spark.operators.skew",
     "pymfe_spark.plans.extractor_queries",
     "pymfe_spark.plans.flagship",
