@@ -61,5 +61,11 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # bucketed tables (sources/bucketed.py) live outside the repo;
+        # on a cluster this is the Iceberg/Hive warehouse location
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/pymfe_spark_warehouse"),
+        )
     )
     return builder.getOrCreate()

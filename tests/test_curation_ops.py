@@ -139,6 +139,29 @@ def test_events_json_extraction_agrees_with_raw(spark):
     assert (out["min_k"] >= 0).all() and (out["max_k"] <= 100).all()
 
 
+# ----------------------------------------------------------- sketch
+
+
+def test_sketch_profile_bounds_against_exact(spark):
+    """HLL distinct counts within ~3x the configured 2% rsd; approx
+    percentiles within the quantile-summary's rank-error contract
+    (bounded here by the neighboring exact deciles)."""
+    from pymfe_spark.operators.sketch import corpus_profile_sketch, exact_profile
+
+    approx = corpus_profile_sketch(spark, SF_SMOKE).toPandas().set_index("source")
+    exact = exact_profile(spark, SF_SMOKE).toPandas().set_index("source")
+    for src in exact.index:
+        e, a = exact.loc[src], approx.loc[src]
+        assert abs(a["approx_distinct_texts"] - e["distinct_texts"]) <= max(
+            0.06 * e["distinct_texts"], 2
+        ), (src, a["approx_distinct_texts"], e["distinct_texts"])
+        for c in ("p50_chars", "p90_chars", "p99_chars"):
+            # rank error 1/accuracy=1e-4 -> value must sit within the
+            # exact [p-5%, p+5%] value band; lengths are tightly
+            # clustered so a generous relative band suffices
+            assert abs(a[c] - e[c]) <= 0.1 * e[c] + 2, (src, c, a[c], e[c])
+
+
 def test_events_json_malformed_rows_null_out(spark):
     rows = [(0, "a", '{"k": 3}'), (1, "a", "not json"), (2, "b", '{"j": 9}')]
     df = spark.createDataFrame(rows, "event_id long, event_type string, props string")
