@@ -6,9 +6,10 @@ The sandbox has no scipy/sklearn, so every kernel is written from the
 published formulas; reference citations mark the parity target.
 Deviations (documented):
 
-- ``nr_norm`` uses the D'Agostino K² normality test (closed-form chi2
-  survival) instead of Shapiro-Wilk (statistical.py:918-1065 defaults to
-  shapiro-wilk; scipy unavailable here). Same head-5000 row cap.
+- ``nr_norm`` (no longer a deviation): Shapiro-Wilk / D'Agostino /
+  Anderson-Darling implemented from the published algorithms in
+  plans/normality.py, golden-verified per method against the
+  reference's own expectations. Same head-5000 row cap.
 - ``can_cor`` uses classical eigen-CCA instead of sklearn's NIPALS CCA
   (statistical.py:211-262) — identical canonical correlations at
   convergence.
@@ -615,68 +616,28 @@ def _gravity(b: ConvBatch) -> float:
 
 @measure("nr_norm", "statistical")
 def _nr_norm(b: ConvBatch) -> float:
-    """#columns passing a normality test at alpha=0.05 over the first
-    5000 rows (statistical.py:918-1065; row cap 970-976). D'Agostino K²
-    (closed-form chi2(2) survival exp(-K²/2)) replaces Shapiro-Wilk —
-    scipy is unavailable in-kernel."""
-    cnt = 0
-    for v in b.N.T:
-        v = v[:5000]
-        n = v.size
-        if n < 20:
-            continue
-        # D'Agostino-Pearson K^2 (public formulas)
-        g1 = _population_moment_ratio(v, 3)
-        g2 = _population_moment_ratio(v, 4) - 3.0
-        # skewness z (D'Agostino 1970)
-        Y = g1 * np.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
-        beta2 = (
-            3.0
-            * (n**2 + 27 * n - 70)
-            * (n + 1)
-            * (n + 3)
-            / ((n - 2.0) * (n + 5) * (n + 7) * (n + 9))
-        )
-        W2 = -1 + np.sqrt(2 * (beta2 - 1))
-        delta = 1 / np.sqrt(0.5 * np.log(W2))
-        alpha = np.sqrt(2.0 / (W2 - 1))
-        Y = np.where(Y == 0, 1e-12, Y)
-        Zs = delta * np.log(Y / alpha + np.sqrt((Y / alpha) ** 2 + 1))
-        # kurtosis z (Anscombe & Glynn 1983)
-        E = 3.0 * (n - 1) / (n + 1)
-        varb2 = (
-            24.0 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
-        )
-        x = (g2 + 3.0 - E) * 1.0  # b2 - E  (b2 = g2 + 3)
-        x = x / np.sqrt(varb2)
-        sqrtbeta1 = (
-            6.0
-            * (n * n - 5 * n + 2)
-            / ((n + 7) * (n + 9))
-            * np.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
-        )
-        A = 6.0 + 8.0 / sqrtbeta1 * (
-            2.0 / sqrtbeta1 + np.sqrt(1 + 4.0 / sqrtbeta1**2)
-        )
-        term = (1 - 2.0 / A) / (1 + x * np.sqrt(2.0 / (A - 4.0)))
-        if term <= 0:
-            continue
-        Zk = (
-            (1 - 2.0 / (9.0 * A)) - term ** (1.0 / 3.0)
-        ) / np.sqrt(2.0 / (9.0 * A))
-        k2 = float(Zs**2 + Zk**2)
-        pval = float(np.exp(-k2 / 2.0))  # chi2(2) survival
-        if pval > 0.05:
-            cnt += 1
-    return float(cnt)
+    """#columns passing a normality test over the first 5000 rows
+    (statistical.py:918-1065; row cap 970-976; default method
+    shapiro-wilk as in the reference). All three reference tests —
+    Shapiro-Wilk (AS R94), D'Agostino-Pearson K², Anderson-Darling —
+    are pure-numpy in plans/normality.py and golden-verified against
+    the reference's own per-method iris/mix/kr expectations, including
+    its percent-vs-fraction significance-pick quirk for
+    anderson-darling. Per-column test failures (n too small, constant
+    column) propagate, matching apply_along_axis semantics -> the
+    measure becomes NaN via exception containment. method / threshold /
+    failure / max_samples route through measure_kwargs like the
+    reference's extract(nr_norm={...})."""
+    from pymfe_spark.plans.normality import nr_norm as _nn
 
-
-def _population_moment_ratio(v: np.ndarray, k: int) -> float:
-    m = v.mean()
-    m2 = ((v - m) ** 2).mean()
-    if m2 == 0:
-        return 0.0
-    return float(((v - m) ** k).mean() / m2 ** (k / 2.0))
+    kw = b.config.get("measure_kwargs", {}).get("nr_norm", {})
+    return _nn(
+        b.N.astype(float),
+        method=kw.get("method", "shapiro-wilk"),
+        threshold=kw.get("threshold", 0.05),
+        failure=kw.get("failure", "soft"),
+        max_samples=kw.get("max_samples", 5000),
+    )
 
 
 @measure("can_cor", "statistical", needs_y=True)

@@ -31,8 +31,9 @@ Documented exemptions:
   kNN graph construction (complexity.py:498-551): no parameterization
   of the current code (k, metric, tie rule) reproduces them
   (closest: eps-radius graph). Range/shape-checked only.
-- nr_norm uses a D'Agostino test (scipy's Shapiro-Wilk is unavailable
-  here); column-count result differs on iris (2 vs 1). Excluded.
+(nr_norm is no longer exempt: Shapiro-Wilk/D'Agostino/Anderson-Darling
+are implemented from the published algorithms in plans/normality.py
+and golden-tested per method below.)
 """
 
 from __future__ import annotations
@@ -295,9 +296,9 @@ def test_summary_reference_goldens():
 
 
 def test_iris_exempted_measures_sane():
-    """t1 / density / cls_coef / hubs / nr_norm: goldens predate the
-    current reference implementations (see module docstring) — assert
-    shape and range instead of exact values."""
+    """t1 / density / cls_coef / hubs: goldens predate the current
+    reference implementations (see module docstring) — assert shape
+    and range instead of exact values."""
     b = _batch()
     with np.errstate(all="ignore"), warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -305,9 +306,37 @@ def test_iris_exempted_measures_sane():
         density = MEASURES["density"].fn(b)
         cls_coef = MEASURES["cls_coef"].fn(b)
         hubs = MEASURES["hubs"].fn(b)
-        nr_norm = MEASURES["nr_norm"].fn(b)
     assert 0.0 < t1 < 0.2  # a few spheres cover the 3 iris blobs
     assert 0.7 < density < 0.95
     assert 0.0 < cls_coef < 0.5
     assert hubs.shape == (150,) and 0.6 < hubs.mean() < 0.95
-    assert nr_norm in (1.0, 2.0)  # test-statistic substitution
+
+
+@pytest.mark.parametrize(
+    "method, failure, exp",
+    [
+        ("shapiro-wilk", "soft", 1.0),
+        ("dagostino-pearson", "soft", 2.0),
+        ("anderson-darling", "soft", 2.0),
+        ("all", "soft", 2.0),
+        ("all", "hard", 1.0),
+    ],
+)
+def test_iris_nr_norm_per_method_golden(method, failure, exp):
+    """nr_norm per normality test against the reference's OWN iris
+    expectations (/root/reference/tests/test_statistical.py:219-250) —
+    the pure-numpy Shapiro-Wilk (AS R94), D'Agostino K² and
+    Anderson-Darling (incl. the reference's percent-vs-fraction
+    significance-pick quirk) in plans/normality.py."""
+    N, y = _load_iris()
+    C = np.column_stack(
+        [_equal_freq_bins(N[:, j]).astype(object) for j in range(4)]
+    )
+    b = ConvBatch(
+        N=N,
+        C=C,
+        y=y,
+        orig_cat=0,
+        config={"measure_kwargs": {"nr_norm": {"method": method, "failure": failure}}},
+    )
+    assert MEASURES["nr_norm"].fn(b) == exp

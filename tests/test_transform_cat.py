@@ -722,3 +722,18 @@ def test_read_arff_feeds_transform_cat(spark):
     )
     _check(b, "mean", MIX_STATISTICAL["mean"])
     _check(b, "gravity", MIX_STATISTICAL["gravity"])
+
+
+@pytest.mark.parametrize("method", ["shapiro-wilk", "dagostino-pearson",
+                                    "anderson-darling", "all"])
+@pytest.mark.parametrize("path, exp", [(MIX, 0.0), (KRKP, 0.0)])
+def test_nr_norm_per_method_encoded_golden(path, exp, method):
+    """nr_norm per normality test on the mixed and all-categorical
+    fixtures over the gray-encoded N view — the reference's own
+    expectations (test_statistical.py:219-250: dataset 0 -> 0,
+    dataset 1 -> 0 for every method)."""
+    b = _batch(path)
+    b.config = {"measure_kwargs": {"nr_norm": {"method": method}}}
+    with np.errstate(all="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert MEASURES["nr_norm"].fn(b) == exp
