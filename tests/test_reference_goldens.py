@@ -340,3 +340,31 @@ def test_iris_nr_norm_per_method_golden(method, failure, exp):
         config={"measure_kwargs": {"nr_norm": {"method": method, "failure": failure}}},
     )
     assert MEASURES["nr_norm"].fn(b) == exp
+
+
+def test_iris_normality_statistics_pinned():
+    """Statistic-level pins (not just accept/reject): the iris per-column
+    Shapiro W/p, D'Agostino K² and Anderson A² — W=0.9761/p=0.0102 and
+    W=0.9838/p=0.0752 for sepal length/width are the widely published
+    scipy.stats.shapiro outputs, so any drift in the AS R94 weights,
+    ndtri, or the p-value transform fails here at value resolution."""
+    from pymfe_spark.plans.normality import (
+        anderson_darling_norm,
+        dagostino_pearson,
+        shapiro_wilk,
+    )
+
+    N, _ = _load_iris()
+    pinned = [
+        (0.976090, 0.0101812, 5.735584, 0.0568242, 0.889199),
+        (0.983792, 0.0751792, 3.576642, 0.167241, 0.965665),
+        (0.876425, 7.54542e-10, 221.331787, 8.67787e-49, 7.672883),
+        (0.902625, 1.86476e-08, 136.777018, 1.99181e-30, 5.062814),
+    ]
+    for col, (w_e, p_e, k2_e, pk_e, a2_e) in enumerate(pinned):
+        w, p = shapiro_wilk(N[:, col])
+        k2, pk = dagostino_pearson(N[:, col])
+        a2, _crit = anderson_darling_norm(N[:, col])
+        assert np.isclose(w, w_e, atol=1e-5) and np.isclose(p, p_e, rtol=1e-3)
+        assert np.isclose(k2, k2_e, atol=1e-4) and np.isclose(pk, pk_e, rtol=1e-3)
+        assert np.isclose(a2, a2_e, atol=1e-4)
