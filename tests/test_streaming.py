@@ -254,3 +254,60 @@ def test_streaming_dedup_matches_batch_keyset(spark):
     assert got["norm"].is_unique
     shutil.rmtree(in_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_pack_sequences_matches_batch(spark):
+    """The offset-carrying streaming packer over doc_id-ordered
+    micro-batches must reproduce the batch pack_sequences plan
+    bit-for-bit (streaming/packing.py contract: monotone ingest ids ->
+    streamed assignment == batch assignment)."""
+    import shutil
+    import time as _t
+
+    from pymfe_spark.operators.packing import pack_sequences_df
+    from pymfe_spark.streaming.packing import streaming_pack_sequences
+
+    src = "/tmp/pack_stream_in"
+    ckpt = "/tmp/pack_stream_ckpt"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for lo, hi in zip(cuts, cuts[1:]):
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        _t.sleep(1.2)  # distinct mod-times -> deterministic batch order
+
+    out = streaming_pack_sequences(spark, src, max_files_per_trigger=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pack_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    cols = [
+        "doc_id", "shard", "n_tokens", "start_offset",
+        "chunk_first", "chunk_last", "n_chunks",
+    ]
+    streamed = (
+        spark.table("pack_stream").toPandas()[cols]
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    batch = (
+        pack_sequences_df(docs).toPandas()[cols]
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(streamed) == len(batch) > 0
+    assert streamed.astype("int64").equals(batch.astype("int64"))
