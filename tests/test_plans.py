@@ -246,3 +246,34 @@ def test_extraction_input_layout_independent(spark):
     base = norm(ex.extract(t))
     scrambled = norm(ex.extract(t.repartition(7)))  # round-robin scramble
     pd.testing.assert_frame_equal(base, scrambled)
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Packing is one hash exchange on shard + an in-partition window:
+    exactly one data-sized Exchange in the plan."""
+    plan = plan_of(spark, "zz_pack_sequences")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "Window" in plan
+
+
+def test_top_ngrams_is_distributed_topk(spark):
+    """The global top-k must be TakeOrderedAndProject (per-partition
+    heads merged on the driver), never a full sort of the gram table."""
+    plan = plan_of(spark, "zz_corpus_top_ngrams")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sketch_profile_partial_aggregates(spark):
+    """The sketch tier must plan two-phase aggregation (partial HLL /
+    quantile-summary merge map-side before the exchange) so shuffle
+    rows stay constant-size at any volume."""
+    plan = plan_of(spark, "zz_corpus_profile_sketch")
+    assert re.search(r"partial_approx_count_distinct|Partial", plan), plan
+    assert "approx_count_distinct" in plan
+
+
+def test_pii_scrub_is_pure_scan_project(spark):
+    """PII scrubbing is scan -> project: no exchange, no join."""
+    plan = plan_of(spark, "zz_text_pii_scrub")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
