@@ -147,3 +147,115 @@ def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         g < _SPLITS[1][1], _SPLITS[1][0]
     ).otherwise(_SPLITS[2][0])
     return d.select("doc_id", expr.alias("split"))
+
+
+# ---------------------------------------------------------------------
+# Mixture sampling: hit a global TOKEN budget with explicit per-source
+# mixture weights — the static data-mixture rebalance of LLM corpus
+# recipes (upweight curated sources, downweight crawl), as opposed to
+# stratified_sample's equalizing cap. Same survivable physical shape:
+# one tiny per-source aggregation -> broadcast thresholds -> one
+# hash-gated filter scan. All threshold arithmetic is nested integer
+# division replicated verbatim in the oracle, so the kept row set is
+# bit-identical across engines.
+# ---------------------------------------------------------------------
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights,
+    budget_tokens_expr=None,
+) -> DataFrame:
+    """Keep a deterministic subset of (doc_id, source, n_tokens) rows
+    whose per-source token mass approaches ``budget * w_s / Σw``.
+
+    ``weights``: Column mapping source -> integer weight (build with
+    F.when chains or a map lookup). ``budget_tokens_expr``: total token
+    budget as a Column over the per-source totals relation; defaults to
+    half the corpus tokens (scale-free). keep_ppm_s =
+    min(SCALE, ((budget*w_s div Σw) * SCALE) div tokens_s) — a source
+    whose desired share exceeds its inventory passes through whole
+    (weights cannot mint tokens; re-normalize upstream if needed)."""
+    from pyspark.sql.window import Window
+
+    base = df.withColumn("w", weights)
+    tot = base.groupBy("source", "w").agg(F.sum("n_tokens").alias("s_tok"))
+    w_all = Window.partitionBy()
+    budget = (
+        budget_tokens_expr
+        if budget_tokens_expr is not None
+        else F.expr("total_tok div 2")
+    )
+    thr = (
+        tot.select(
+            "source",
+            "w",
+            "s_tok",
+            F.sum("s_tok").over(w_all).alias("total_tok"),
+            F.sum("w").over(w_all).alias("sum_w"),
+        )
+        .withColumn("budget", budget)
+        .select(
+            "source",
+            F.least(
+                F.lit(_SCALE).cast("long"),
+                F.expr("((budget * w div sum_w) * 1000000) div s_tok"),
+            ).alias("keep_ppm"),
+        )
+    )
+    gate = F.pmod(_hash_gate(F.col("doc_id")), F.lit(_SCALE))
+    return (
+        df.join(F.broadcast(thr), "source")
+        .filter(gate < F.col("keep_ppm"))
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
+# catalog instance: sources src0..src9 weight 2, the rest weight 1,
+# budget = half the corpus tokens — fully deterministic in-plan
+_MIX_W_SQL = (
+    "CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10 THEN 2 ELSE 1 END"
+)
+
+_MIXTURE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         {_MIX_W_SQL} AS w
+  FROM documents
+), tot AS (
+  SELECT source, w, sum(n_tokens) AS s_tok FROM toks GROUP BY source, w
+), thr AS (
+  SELECT source,
+         CAST(least({_SCALE},
+              (((sum(s_tok) OVER () // 2) * w // sum(w) OVER ())
+               * 1000000) // s_tok) AS BIGINT) AS keep_ppm
+  FROM tot
+)
+SELECT t.doc_id, t.source, t.n_tokens
+FROM toks t JOIN thr USING (source)
+WHERE ((({_A} * t.doc_id + {_B}) % {_P} + {_P}) % {_P}) % {_SCALE}
+      < thr.keep_ppm
+"""
+
+
+@register(
+    "sample_mixture",
+    oracle=_MIXTURE_ORACLE,
+    group=GROUP,
+    gate_oracle=False,  # gate's 50 oracle slots are full; pytest enforces
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalance at half the corpus token budget:
+    sources src0-src9 weighted 2x the rest, rows chosen by the
+    deterministic hash gate, thresholds in exact integer ppm."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    base = d.select(
+        "doc_id", "source", F.size(toks).cast("long").alias("n_tokens")
+    )
+    w = F.when(
+        F.substring("source", 4, 10).cast("long") < 10, F.lit(2)
+    ).otherwise(F.lit(1))
+    return mixture_sample(base, w)

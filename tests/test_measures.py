@@ -218,3 +218,53 @@ def test_summarize_naming_scheme():
     assert "freq_class.quantiles.0" in out and "freq_class.quantiles.4" in out
     # scalar passes through unsummarized (mfe.py:571-594)
     assert summarize("nr_inst", 42.0) == {"nr_inst": 42.0}
+
+
+def test_normality_tests_affine_invariant():
+    """Shapiro W, D'Agostino K² and Anderson A² are location-scale
+    invariant: y = a*x + b (a > 0) must give the same statistic and
+    p-value to float precision."""
+    from pymfe_spark.plans.normality import (
+        anderson_darling_norm,
+        dagostino_pearson,
+        shapiro_wilk,
+    )
+
+    x = RNG.normal(size=200) + 0.3 * RNG.uniform(size=200)
+    y = 7.25 * x - 113.0
+    for fn in (shapiro_wilk, dagostino_pearson, anderson_darling_norm):
+        sx, px = fn(x)
+        sy, py = fn(y)
+        assert np.isclose(sx, sy, rtol=1e-9) and np.isclose(px, py, rtol=1e-6)
+        assert 0.0 <= min(px, py) and (fn is anderson_darling_norm or px <= 1.0)
+
+
+def test_normality_edge_cases_raise():
+    """Mirrors scipy's failure modes (which the kernel's exception
+    containment converts to NaN): tiny n and constant samples raise."""
+    from pymfe_spark.plans.normality import (
+        anderson_darling_norm,
+        dagostino_pearson,
+        shapiro_wilk,
+    )
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        shapiro_wilk(np.array([1.0, 2.0]))
+    with _pt.raises(ValueError):
+        shapiro_wilk(np.full(50, 3.0))
+    with _pt.raises(ValueError):
+        dagostino_pearson(np.arange(5.0))
+    with _pt.raises(ValueError):
+        anderson_darling_norm(np.full(50, 3.0))
+
+
+def test_shapiro_small_n_branches():
+    """n=3 (exact asin p) and 4<=n<=11 (gamma transform) branches."""
+    from pymfe_spark.plans.normality import shapiro_wilk
+
+    w3, p3 = shapiro_wilk(np.array([1.0, 2.0, 4.0]))
+    assert 0.0 < w3 <= 1.0 and 0.0 <= p3 <= 1.0
+    w8, p8 = shapiro_wilk(np.array([1.0, 2.0, 2.5, 3.0, 3.5, 4.0, 5.0, 9.0]))
+    assert 0.0 < w8 <= 1.0 and 0.0 <= p8 <= 1.0

@@ -53,3 +53,39 @@ def test_splits_stable_and_proportional(spark):
     sub = sample_splits(spark, SF_SMOKE).filter(F.col("doc_id") < 100).toPandas()
     merged = sub.merge(out, on="doc_id", suffixes=("_sub", "_full"))
     assert (merged["split_sub"] == merged["split_full"]).all()
+
+
+def test_mixture_respects_weights_and_budget(spark):
+    """At half the corpus token budget with src0-9 weighted 2:1, the
+    kept token mass must land near the budget and the per-source kept
+    tokens must track desired = budget * w / Σw (hash-gate noise
+    allowed; a capped source passes through whole)."""
+    from pymfe_spark.operators.sampling import sample_mixture
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    totals = (
+        d.select("source", toks.alias("n"))
+        .groupBy("source").agg(F.sum("n").alias("s"))
+        .toPandas().set_index("source")["s"]
+    )
+    budget = totals.sum() // 2
+    w = {s: (2 if int(s[3:]) < 10 else 1) for s in totals.index}
+    sum_w = sum(w.values())
+
+    kept = sample_mixture(spark, SF_SMOKE).toPandas()
+    kept_by = kept.groupby("source")["n_tokens"].sum()
+    assert 0.85 * budget <= kept_by.sum() <= 1.1 * budget
+    for s in totals.index:
+        desired = min(budget * w[s] // sum_w, totals[s])
+        assert abs(kept_by.get(s, 0) - desired) <= 0.35 * desired + 50, (
+            s, kept_by.get(s, 0), desired
+        )
+
+
+def test_mixture_is_deterministic(spark):
+    from pymfe_spark.operators.sampling import sample_mixture
+
+    a = sorted(r["doc_id"] for r in sample_mixture(spark, SF_SMOKE).collect())
+    b = sorted(r["doc_id"] for r in sample_mixture(spark, SF_SMOKE).collect())
+    assert a == b and len(a) > 0
