@@ -229,23 +229,62 @@ def _poly_hash(col: Column) -> Column:
 GRAM_C = [pow(31, 8 * j, _P) for j in range(4)]
 
 
-def _minhash_oracle() -> str:
+def gram_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, h)``: the DISTINCT hashed word-4-gram shingles of
+    every document — the shared input of all MinHash variants (Spark
+    twin of ``_gram_cte``).
+
+    Physical strategy: each TOKEN is poly-hashed once and 4-gram
+    hashes are composed from the token-hash array with fixed weights
+    (GRAM_C) — ~4x less character work than hashing materialized
+    shingle strings (every token sits in up to 4 grams), and the
+    shingle strings are never built at all. The token-hash array is
+    materialized as a column between steps: lambda bodies and
+    aggregate expressions embed their argument subtrees (no CSE), so
+    inlining would re-hash every token per gram / per aggregate."""
+    from pymfe_spark.operators.textops import poly_hash
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("w"),
+    )
+    th = toks.select(
+        "doc_id", F.transform("w", lambda t: poly_hash(t)).alias("hw")
+    )
+    k4 = F.size(F.col("hw")) - 3
+    gram = F.transform(
+        F.sequence(F.lit(1), F.greatest(k4, F.lit(1))),
+        lambda i: F.pmod(
+            sum(
+                F.pmod(
+                    F.element_at(F.col("hw"), (i + j).cast("int"))
+                    * F.lit(GRAM_C[j]),
+                    F.lit(_P),
+                )
+                for j in range(4)
+            ),
+            F.lit(_P),
+        ),
+    )
+    grams = F.when(k4 >= 1, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return th.select("doc_id", F.explode(grams).alias("h"))
+
+
+def _gram_cte() -> str:
+    """Shared oracle CTE text: tokenized word arrays -> per-token
+    polynomial hashes -> DISTINCT hashed 4-gram shingles per doc
+    (``hashed(doc_id, h)``). Used verbatim by every MinHash oracle so
+    the gram semantics cannot drift between variants."""
     from pymfe_spark.operators.textops import FP_WEIGHTS
 
     w_sql = "[" + ", ".join(str(w) for w in FP_WEIGHTS) + "]"
     gram_expr = " + ".join(
         f"(hw[i.i + {j}] * {GRAM_C[j]}) % {_P}" for j in range(4)
     )
-    sig_cols = ", ".join(
-        f"min(({MH_A[k]}::BIGINT * h + {MH_B[k]}) % {_P}) AS mh{k}"
-        for k in range(MINHASH_K)
-    )
-    band_rows = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {k} AS band, mh{k} AS v FROM sig"
-        for k in range(MINHASH_K)
-    )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
   FROM documents
 ), th AS (
@@ -259,7 +298,20 @@ WITH toks AS (
 ), hashed AS (
   SELECT DISTINCT doc_id, ({gram_expr}) % {_P} AS h
   FROM th, unnest(range(1, greatest(len(hw) - 2, 1))) AS i(i)
-), sig AS (
+)"""
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min(({MH_A[k]}::BIGINT * h + {MH_B[k]}) % {_P}) AS mh{k}"
+        for k in range(MINHASH_K)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band, mh{k} AS v FROM sig"
+        for k in range(MINHASH_K)
+    )
+    return f"""
+WITH {_gram_cte()}, sig AS (
   SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id
 ), bands AS (
   {band_rows}
@@ -297,45 +349,10 @@ def dedup_minhash_lsh(
     DuckDB-oracle-checked bit-for-bit. At 100 TB this composes with an
     exact-Jaccard verify on the candidate pairs (the dedup_ngram
     oracle shape) — 1-row bands maximize recall, the verify restores
-    precision.
-
-    Physical strategy for the hashing: each TOKEN is poly-hashed once
-    and 4-gram hashes are composed from the token-hash array with
-    fixed weights (GRAM_C) — ~4x less character work than hashing
-    materialized shingle strings (every token sits in up to 4 grams),
-    and the shingle strings are never built at all. The token-hash
-    array is materialized as a column between steps: lambda bodies and
-    aggregate expressions embed their argument subtrees (no CSE), so
-    inlining would re-hash every token per gram / per aggregate."""
-    from pymfe_spark.operators.textops import poly_hash
-
-    d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda x: x != "").alias("w"),
-    )
-    th = toks.select(
-        "doc_id", F.transform("w", lambda t: poly_hash(t)).alias("hw")
-    )
-    k4 = F.size(F.col("hw")) - 3
-    gram = F.transform(
-        F.sequence(F.lit(1), F.greatest(k4, F.lit(1))),
-        lambda i: F.pmod(
-            sum(
-                F.pmod(
-                    F.element_at(F.col("hw"), (i + j).cast("int"))
-                    * F.lit(GRAM_C[j]),
-                    F.lit(_P),
-                )
-                for j in range(4)
-            ),
-            F.lit(_P),
-        ),
-    )
-    grams = F.when(k4 >= 1, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<bigint>")
-    )
-    sh = th.select("doc_id", F.explode(grams).alias("h"))
+    precision; ``dedup_minhash_verified`` below IS that composition at
+    the production operating point (8 bands x 4 rows). Gram hashing
+    strategy: see ``gram_hash_table``."""
+    sh = gram_hash_table(spark, sf_dir)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(
@@ -380,6 +397,283 @@ def dedup_minhash_lsh(
         "doc_b",
         "n_bands_matched",
         r(F.col("n_bands_matched") / F.lit(float(MINHASH_K))).alias("est_jaccard"),
+    )
+
+
+# --- production operating point: banded MinHash + exact verify -----
+#
+# 1-row bands (above) are the max-recall end of the S-curve; the
+# production point for web-scale near-dup detection is b bands of r
+# rows: candidate iff ALL r minhashes of some band match, so the
+# match probability is 1-(1-j^r)^b — a sharp threshold near
+# (1/b)^(1/r) ~ 0.59 for b=8, r=4, which suppresses the low-jaccard
+# candidate flood that 1-row bands admit at corpus scale. Candidates
+# then get an exact-Jaccard verify on the gram table, restoring
+# precision to 100%.
+BND_B = 8  # bands
+BND_R = 4  # rows (minhashes) per band
+BND_K = BND_B * BND_R
+_RNG2 = np.random.RandomState(1234)
+BV_A = [int(a) for a in _RNG2.randint(1, _P, BND_K)]
+BV_B = [int(b) for b in _RNG2.randint(0, _P, BND_K)]
+# exact-Jaccard floor for verified pairs, in percent: the filter is
+# evaluated in exact integer arithmetic (inter*100 >= PCT*union) on
+# both engines, so no float-boundary row can flip between them.
+MINHASH_VERIFY_PCT = 35
+
+
+def banded_candidate_pairs(
+    sh: DataFrame, max_band_bucket: int = MAX_BAND_BUCKET
+) -> DataFrame:
+    """Banded candidate generation over a gram table ``(doc_id, h)``:
+    32-way signature agg -> 8 folded band keys -> mega-bucket
+    broadcast-anti cap -> (band, bk) equi-self-join ->
+    ``(doc_a, doc_b, n_bands_matched)``. Shared by the batch verified
+    pipeline and the streaming twin's equivalence test."""
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(F.lit(BV_A[k]) * F.col("h") + F.lit(BV_B[k]), F.lit(_P))
+            ).alias(f"m{k}")
+            for k in range(BND_K)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.pmod(
+                sum(
+                    F.pmod(
+                        F.col(f"m{4 * b + j}") * F.lit(GRAM_C[j]), F.lit(_P)
+                    )
+                    for j in range(BND_R)
+                ),
+                F.lit(_P),
+            ).alias("bk"),
+        )
+        for b in range(BND_B)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bv")
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.bk").alias("bk"))
+    hot = (
+        bands.groupBy("band", "bk")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > max_band_bucket)
+        .select("band", "bk")
+    )
+    cold = bands.join(F.broadcast(hot), ["band", "bk"], "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+
+
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` to a lambda variable and evaluate ``body`` on it —
+    a let-expression via ``transform(array(value), v -> body(v))[1]``.
+
+    Why: ``withColumn`` intermediates do NOT materialize anything —
+    Catalyst's CollapseProject inlines adjacent projections, so a
+    column referenced k times is recomputed k times unless a generator
+    or aggregation barrier sits between the steps (gram_hash_table
+    relies on its explode for exactly this). A stateless streaming
+    projection has no such barrier; lambda variables are the
+    expression-level fix — bound once per row at runtime, immune to
+    projection collapse. Measured on the band-key projection below:
+    381 s -> 0.7 s at sf0.001 (the collapsed form re-hashed every
+    token per band x row x min — O(words²·k) work)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def with_band_keys(df: DataFrame) -> DataFrame:
+    """Add a ``bands: array<struct<band:int, bk:bigint>>`` column to any
+    DataFrame with a ``text`` column — the banded MinHash keys as a PURE
+    PROJECTION (no explode/groupBy), bit-identical to the aggregated
+    path in ``banded_candidate_pairs`` (min over the gram array equals
+    min over the exploded distinct grams: duplicates can't change a
+    min; proven by the streaming==batch test).
+
+    This is the streaming-safe form: stateless, usable before a
+    watermark/stateful stage. The token-hash array and gram array are
+    bound as lambda variables (``_let``) so each is computed once per
+    row despite living in a single projection. Docs with < 4 tokens
+    get an empty ``bands`` array (null mins are filtered), matching
+    their absence from the gram table."""
+
+    def bands_of(grams: Column) -> Column:
+        mins = [
+            F.array_min(
+                F.transform(
+                    grams,
+                    lambda g: F.pmod(
+                        F.lit(BV_A[k]) * g + F.lit(BV_B[k]), F.lit(_P)
+                    ),
+                )
+            )
+            for k in range(BND_K)
+        ]
+        return F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.pmod(
+                            sum(
+                                F.pmod(
+                                    mins[4 * b + j] * F.lit(GRAM_C[j]),
+                                    F.lit(_P),
+                                )
+                                for j in range(BND_R)
+                            ),
+                            F.lit(_P),
+                        ).alias("bk"),
+                    )
+                    for b in range(BND_B)
+                ]
+            ),
+            lambda s: s["bk"].isNotNull(),
+        )
+
+    def grams_of(hw: Column) -> Column:
+        k4 = F.size(hw) - 3
+        gram = F.transform(
+            F.sequence(F.lit(1), F.greatest(k4, F.lit(1))),
+            lambda i: F.pmod(
+                sum(
+                    F.pmod(
+                        F.element_at(hw, (i + j).cast("int"))
+                        * F.lit(GRAM_C[j]),
+                        F.lit(_P),
+                    )
+                    for j in range(BND_R)
+                ),
+                F.lit(_P),
+            ),
+        )
+        return F.when(k4 >= 1, gram).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    hw_expr = F.transform(toks, lambda t: _poly_hash(t))
+    bands = _let(
+        hw_expr, lambda hw: _let(grams_of(hw), lambda grams: bands_of(grams))
+    )
+    return df.withColumn("bands", bands)
+
+
+def _band_key_sql(b: int) -> str:
+    terms = " + ".join(
+        f"(m{4 * b + j} * {GRAM_C[j]}) % {_P}" for j in range(BND_R)
+    )
+    return f"({terms}) % {_P}"
+
+
+def _minhash_verified_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min(({BV_A[k]}::BIGINT * h + {BV_B[k]}) % {_P}) AS m{k}"
+        for k in range(BND_K)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS bk FROM sig"
+        for b in range(BND_B)
+    )
+    return f"""
+WITH {_gram_cte()}, sig AS (
+  SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id
+), bands AS (
+  {band_rows}
+), cold AS (
+  SELECT doc_id, band, bk
+  FROM (SELECT doc_id, band, bk,
+               count(*) OVER (PARTITION BY band, bk) AS bsz
+        FROM bands)
+  WHERE bsz <= {MAX_BAND_BUCKET}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(count(*) AS bigint) AS n_bands_matched
+  FROM cold a JOIN cold b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id
+), inter AS (
+  SELECT p.doc_a, p.doc_b, p.n_bands_matched, count(*) AS ninter
+  FROM pairs p
+  JOIN hashed x ON x.doc_id = p.doc_a
+  JOIN hashed y ON y.doc_id = p.doc_b AND y.h = x.h
+  GROUP BY p.doc_a, p.doc_b, p.n_bands_matched
+)
+SELECT i.doc_a, i.doc_b, i.n_bands_matched,
+       round(i.ninter * 1.0 / (za.n + zb.n - i.ninter), 6) AS jaccard
+FROM inter i
+JOIN sz za ON za.doc_id = i.doc_a
+JOIN sz zb ON zb.doc_id = i.doc_b
+WHERE i.ninter * 100 >= {MINHASH_VERIFY_PCT} * (za.n + zb.n - i.ninter)
+"""
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=_minhash_verified_oracle(),
+    group=GROUP,
+    gate_oracle=False,
+)
+def dedup_minhash_verified(
+    spark: SparkSession, sf_dir: str, max_band_bucket: int = MAX_BAND_BUCKET
+) -> DataFrame:
+    """The full production near-dup pipeline in one query: banded
+    MinHash (k=32 as 8 bands x 4 rows) candidate generation -> exact
+    gram-Jaccard verify -> keep pairs with jaccard >= 0.35.
+
+    Scale shape: the gram table shuffles once for the 32-way signature
+    agg; band keys fold each band's 4 minhashes into one BIGINT (same
+    exact mod-P arithmetic both engines), so the candidate join is a
+    plain equi-join on (band, bk) with the mega-bucket broadcast-anti
+    cap; the verify re-joins only candidate docs' grams (candidates
+    << corpus by the b·j^r S-curve). Every stage is deterministic and
+    the WHOLE pipeline — hash, permutations, band fold, cap, join,
+    exact verify, integer-exact threshold — is DuckDB-value-oracled.
+
+    Reference analogue: near-dup curation has no pymfe counterpart;
+    the operating point follows the published LSH banding analysis
+    (match prob 1-(1-j^r)^b)."""
+    sh = gram_hash_table(spark, sf_dir)
+    pairs = banded_candidate_pairs(sh, max_band_bucket)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        pairs.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(
+            y,
+            (F.col("doc_b") == F.col("y.doc_id"))
+            & (F.col("x.h") == F.col("y.h")),
+        )
+        .groupBy("doc_a", "doc_b", "n_bands_matched")
+        .agg(F.count("*").alias("ninter"))
+    )
+    za, zb = sz.alias("za"), sz.alias("zb")
+    union = F.col("za.n") + F.col("zb.n") - F.col("ninter")
+    return (
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .filter(
+            F.col("ninter") * F.lit(100) >= F.lit(MINHASH_VERIFY_PCT) * union
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands_matched",
+            r(F.col("ninter") / union).alias("jaccard"),
+        )
     )
 
 

@@ -311,3 +311,61 @@ def test_streaming_pack_sequences_matches_batch(spark):
     )
     assert len(streamed) == len(batch) > 0
     assert streamed.astype("int64").equals(batch.astype("int64"))
+
+
+def test_streaming_neardup_candidates_match_batch(spark):
+    """Multi-micro-batch streamed banded-MinHash candidates must equal
+    the batch banded_candidate_pairs set exactly (no bucket saturates
+    at this scale, so the cap-divergence clause never triggers)."""
+    import pandas as pd
+
+    from pymfe_spark.operators.dedup import (
+        banded_candidate_pairs,
+        gram_hash_table,
+    )
+    from pymfe_spark.streaming.neardup import streaming_neardup_candidates
+
+    in_dir, ckpt = "/tmp/neardup_stream_in", "/tmp/neardup_stream_ckpt"
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = pd.Timestamp("2025-03-01 00:00:00")
+    # three micro-batches split by doc_id residue
+    for i in range(3):
+        (
+            docs.filter(F.pmod("doc_id", F.lit(3)) == i)
+            .withColumn("ts", F.lit(base))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(in_dir)
+        )
+
+    out = streaming_neardup_candidates(spark, in_dir, max_files_per_trigger=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("neardup_stream").toPandas()
+    stream_pairs = set(zip(got["doc_a"], got["doc_b"]))
+
+    batch = banded_candidate_pairs(gram_hash_table(spark, SF_SMOKE)).toPandas()
+    batch_pairs = set(zip(batch["doc_a"], batch["doc_b"]))
+
+    assert len(batch_pairs) > 0
+    assert stream_pairs == batch_pairs, (
+        f"stream-only: {sorted(stream_pairs - batch_pairs)[:5]}, "
+        f"batch-only: {sorted(batch_pairs - stream_pairs)[:5]}"
+    )
+    # per-bucket pair events are unique (state dedups within AND across
+    # micro-batches)
+    assert not got.duplicated(["band", "bk", "doc_a", "doc_b"]).any()
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
