@@ -18,10 +18,6 @@ from pymfe_spark.operators.conv_stats import (
     mf_stat_shape,
 )
 from pymfe_spark.plans.catalog import register
-from pymfe_spark.sources import with_transcripts_cte
-
-# oracle: reuse each component's CTE logic inline (names must align)
-_FLAGSHIP_ORACLE = None  # assembled below from component oracles at test time
 
 
 def conv_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,8 +30,37 @@ def conv_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.join(c, "conv_id").join(s, "conv_id").join(b, "conv_id").join(j, "conv_id")
 
 
-@register("conv_feature_vector", oracle=None, group="flagship")
+def _flagship_oracle() -> str:
+    """The flagship oracle is the JOIN of its five components' own
+    oracle statements as subqueries — the SQL mirrors the Spark plan
+    construction 1:1, so the end-to-end wide vector (not just each
+    component) is value-verified. ``USING`` dedups conv_id; shape's
+    ``n`` is excluded to mirror the Spark ``.drop("n")``."""
+    from pymfe_spark.plans.catalog import CATALOG
+
+    g = CATALOG["mf_general"].oracle
+    c = CATALOG["mf_stat_central"].oracle
+    s = CATALOG["mf_stat_shape"].oracle
+    b = CATALOG["mf_class_balance"].oracle
+    j = CATALOG["mf_info_joint"].oracle
+    return f"""
+SELECT *
+FROM ({g}) g
+JOIN ({c}) c USING (conv_id)
+JOIN (SELECT * EXCLUDE (n) FROM ({s})) s USING (conv_id)
+JOIN ({b}) b USING (conv_id)
+JOIN ({j}) j USING (conv_id)
+"""
+
+
+@register(
+    "conv_feature_vector",
+    oracle=_flagship_oracle(),
+    group="flagship",
+    gate_oracle=False,
+)
 def conv_feature_vector_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only registration; each component is separately
-    oracle-checked, so the join needs only a structural check."""
+    """Full-vector value oracle (pytest/tool-enforced; the driver
+    gate's 50 slots stay with the round-1 set — the name keeps its
+    ``zz_`` prefix so the gate record is unchanged)."""
     return conv_feature_vector(spark, sf_dir)

@@ -46,7 +46,13 @@ def test_column_pruning_reaches_scan(spark):
 # (Q x k centroid rows). Everything else — especially the dedup
 # family — must plan equi-joins; an unlisted BNLJ is an O(n²)
 # regression (round-1 dedup_embedding_cosine shipped one).
-BNLJ_ALLOWED = {"sim_topk_bruteforce", "sim_ivf_topk"}
+BNLJ_ALLOWED = {
+    "sim_topk_bruteforce",  # broadcast query side: k x Q rows by design
+    "sim_ivf_topk",  # broadcast centroid list: nlist rows
+    # single-row broadcast of the percentile-boundary array onto the
+    # corpus (the bucket projection); the big side never re-partitions
+    "zz_corpus_shuffle_order",
+}
 
 
 def test_no_cartesian_products_anywhere(spark):
