@@ -1,0 +1,183 @@
+"""Feature-distribution drift monitoring (PSI) — the standard health
+check a 10^12-turn feature backfill runs between refreshes: has the
+distribution of a feature moved between the reference window and the
+current window?
+
+Population Stability Index over equal-width bins:
+
+    PSI = sum_b (p_cur[b] - p_ref[b]) * ln(p_cur[b] / p_ref[b])
+
+with the usual reading (< 0.1 stable, 0.1-0.25 moderate shift, > 0.25
+action). Everything upstream of the two ln/division steps is EXACT
+integer arithmetic replicated in the DuckDB oracle:
+
+- window split at the midpoint of the observed time range
+  (``(min+max) // 2`` on epoch microseconds — both engines integer);
+- bin edges are equal-width over the REFERENCE window's [min, max]
+  (integer), and values are clamped into that range BEFORE binning so
+  the integer division never sees a negative numerator (Spark ``div``
+  truncates toward zero, DuckDB ``//`` floors — they agree only on
+  non-negatives);
+- Laplace-smoothed fractions ``(cnt + 0.5) / (n + 5.0)`` keep every
+  bin nonzero (empty-bin PSI is otherwise infinite) as an exact
+  rational -> one IEEE division.
+
+The output is one row per bin (no pre-summed total: a cross-engine
+float sum would depend on accumulation order; consumers sum the 10
+rounded terms). Scale shape: two scans' worth of global aggregates
+(time range, reference bin range — tiny rows), then ONE exchange of
+(window, bin) partial counts; the bin spine is a generated 10-row
+broadcast. Reference analogue: pymfe has no drift surface; PSI is the
+published credit-scoring/monitoring standard re-expressed over the
+transcript feature columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymfe_spark.functions.sql_exprs import epoch_us, r
+from pymfe_spark.operators.base import TURNS_SQL, turns
+from pymfe_spark.plans.catalog import register
+from pymfe_spark.sources import with_transcripts_cte
+
+GROUP = "drift"
+
+N_BINS = 10
+
+
+def psi_bins(df: DataFrame, value: Column, ts: Column) -> DataFrame:
+    """Per-bin PSI terms for ``value`` (must be integral-valued),
+    splitting ``df`` into reference/current halves at the midpoint of
+    ``ts``'s observed range. Works on any DataFrame — the registered
+    query binds it to the turn table's text_len."""
+    # parquet ts loads as TIMESTAMP_NTZ; session tz is pinned UTC so
+    # the cast is exact (same convention as operators/base.py)
+    base = df.select(
+        value.cast("long").alias("v"),
+        epoch_us(ts.cast("timestamp")).alias("us"),
+    )
+    span = base.agg(
+        F.min("us").alias("t_min"), F.max("us").alias("t_max")
+    )
+    w = base.join(F.broadcast(span)).select(
+        "v",
+        (F.col("us") < F.expr("(t_min + t_max) div 2")).alias("is_ref"),
+    )
+    ref_range = (
+        w.filter("is_ref")
+        .agg(F.min("v").alias("l_min"), F.max("v").alias("l_max"))
+    )
+    binned = w.join(F.broadcast(ref_range)).select(
+        "is_ref",
+        F.expr(
+            f"(least(greatest(v, l_min), l_max) - l_min) * {N_BINS} "
+            "div (l_max - l_min + 1)"
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("is_ref", "bin").agg(
+        F.count("*").alias("cnt")
+    )
+    spine = (
+        counts.groupBy()
+        .agg(
+            F.sum(F.when(F.col("is_ref"), F.col("cnt"))).alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), F.col("cnt"))).alias("n_cur"),
+        )
+        .select(
+            "n_ref",
+            "n_cur",
+            F.explode(F.sequence(F.lit(0), F.lit(N_BINS - 1))).alias("bin"),
+        )
+    )
+    pivot = (
+        spine.join(
+            counts.filter("is_ref").select("bin", F.col("cnt").alias("c_ref")),
+            "bin",
+            "left",
+        )
+        .join(
+            counts.filter("NOT is_ref").select(
+                "bin", F.col("cnt").alias("c_cur")
+            ),
+            "bin",
+            "left",
+        )
+        .select(
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("n_ref_bin"),
+            F.coalesce("c_cur", F.lit(0)).alias("n_cur_bin"),
+            "n_ref",
+            "n_cur",
+        )
+    )
+    p_ref = (F.col("n_ref_bin") + F.lit(0.5)) / (
+        F.col("n_ref") + F.lit(float(N_BINS) / 2)
+    )
+    p_cur = (F.col("n_cur_bin") + F.lit(0.5)) / (
+        F.col("n_cur") + F.lit(float(N_BINS) / 2)
+    )
+    return pivot.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n_ref_bin").cast("long").alias("n_ref"),
+        F.col("n_cur_bin").cast("long").alias("n_cur"),
+        r(p_ref).alias("ref_frac"),
+        r(p_cur).alias("cur_frac"),
+        r((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+    )
+
+
+_PSI_ORACLE = with_transcripts_cte(
+    f"""
+SELECT b.bin,
+       cast(coalesce(cr.cnt, 0) AS BIGINT) AS n_ref,
+       cast(coalesce(cc.cnt, 0) AS BIGINT) AS n_cur,
+       round((coalesce(cr.cnt, 0) + 0.5) / (t.n_ref + {N_BINS / 2}), 6)
+         AS ref_frac,
+       round((coalesce(cc.cnt, 0) + 0.5) / (t.n_cur + {N_BINS / 2}), 6)
+         AS cur_frac,
+       round(((coalesce(cc.cnt, 0) + 0.5) / (t.n_cur + {N_BINS / 2})
+              - (coalesce(cr.cnt, 0) + 0.5) / (t.n_ref + {N_BINS / 2}))
+             * ln(((coalesce(cc.cnt, 0) + 0.5) / (t.n_cur + {N_BINS / 2}))
+                  / ((coalesce(cr.cnt, 0) + 0.5) / (t.n_ref + {N_BINS / 2}))),
+             6) AS psi_term
+FROM (SELECT unnest(range({N_BINS})) AS bin) b
+CROSS JOIN (SELECT sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+                   sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+            FROM binned) t
+LEFT JOIN (SELECT bin, count(*) AS cnt FROM binned WHERE is_ref
+           GROUP BY bin) cr ON cr.bin = b.bin
+LEFT JOIN (SELECT bin, count(*) AS cnt FROM binned WHERE NOT is_ref
+           GROUP BY bin) cc ON cc.bin = b.bin
+""",
+    extra_ctes=f"""{TURNS_SQL},
+  vals AS (
+    SELECT cast(text_len AS BIGINT) AS v, epoch_us(ts) AS us FROM turns
+  ), span AS (
+    SELECT min(us) AS t_min, max(us) AS t_max FROM vals
+  ), win AS (
+    SELECT v, us < (t_min + t_max) // 2 AS is_ref FROM vals, span
+  ), ref_range AS (
+    SELECT min(v) AS l_min, max(v) AS l_max FROM win WHERE is_ref
+  ), binned AS (
+    SELECT is_ref,
+           (least(greatest(v, l_min), l_max) - l_min) * {N_BINS}
+             // (l_max - l_min + 1) AS bin
+    FROM win, ref_range
+  )""",
+)
+
+
+@register(
+    "feature_drift_psi",
+    oracle=_PSI_ORACLE,
+    group=GROUP,
+    gate_oracle=False,
+)
+def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the text_len feature: first half of the time range
+    (reference window) vs second half (current window). One row per
+    bin; sum(psi_term) is the index."""
+    t = turns(spark, sf_dir)
+    return psi_bins(t, F.col("text_len"), F.col("ts"))

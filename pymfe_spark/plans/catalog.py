@@ -59,6 +59,7 @@ _OPERATOR_MODULES = (
     "pymfe_spark.operators.packing",
     "pymfe_spark.operators.jsonops",
     "pymfe_spark.operators.curation",
+    "pymfe_spark.operators.drift",
     "pymfe_spark.operators.sketch",
     "pymfe_spark.operators.skew",
     "pymfe_spark.plans.extractor_queries",

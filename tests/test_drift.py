@@ -1,0 +1,47 @@
+"""PSI drift monitor: planted-shift sensitivity and null-case
+stability (oracle value parity is covered by test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pymfe_spark.operators.drift import feature_drift_psi, psi_bins
+from tests.conftest import SF_SMOKE
+
+
+def _synth(spark, shift: int):
+    """4000 rows over 4000 seconds; value ~ deterministic LCG in
+    [0, 100), plus ``shift`` on the second half of the time range."""
+    return spark.range(4000).select(
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts0"),
+        (F.col("id") * F.lit(1103515245) % F.lit(100)).alias("v0"),
+        F.col("id"),
+    ).select(
+        (F.col("ts0") + F.make_interval(secs=F.col("id"))).alias("ts"),
+        F.when(F.col("id") >= 2000, F.col("v0") + F.lit(shift))
+        .otherwise(F.col("v0"))
+        .alias("v"),
+    )
+
+
+def test_psi_detects_planted_shift(spark):
+    stable = psi_bins(
+        _synth(spark, 0), F.col("v"), F.col("ts")
+    ).toPandas()
+    drifted = psi_bins(
+        _synth(spark, 60), F.col("v"), F.col("ts")
+    ).toPandas()
+    assert len(stable) == len(drifted) == 10
+    assert stable["psi_term"].sum() < 0.01, "stable halves must read ~0"
+    assert drifted["psi_term"].sum() > 0.25, "a 60%-range shift must alarm"
+
+
+def test_psi_fractions_are_normalized(spark):
+    pdf = feature_drift_psi(spark, SF_SMOKE).toPandas()
+    assert len(pdf) == 10
+    assert list(pdf.sort_values("bin")["bin"]) == list(range(10))
+    # smoothed fractions sum to 1 within rounding
+    assert abs(pdf["ref_frac"].sum() - 1.0) < 1e-4
+    assert abs(pdf["cur_frac"].sum() - 1.0) < 1e-4
+    # counts partition the corpus
+    assert (pdf["n_ref"] + pdf["n_cur"]).sum() > 0
