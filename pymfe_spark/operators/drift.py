@@ -181,3 +181,110 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin; sum(psi_term) is the index."""
     t = turns(spark, sf_dir)
     return psi_bins(t, F.col("text_len"), F.col("ts"))
+
+
+def psi_categories(df: DataFrame, cat: Column, ts: Column) -> DataFrame:
+    """Categorical twin of :func:`psi_bins`: PSI over the observed
+    category set (globally distinct values — the spine — so a category
+    present in only one window still gets a smoothed row). Smoothing
+    denominator uses the category count k: p = (cnt+0.5)/(n+k/2)."""
+    base = df.select(
+        cat.alias("cat"), epoch_us(ts.cast("timestamp")).alias("us")
+    )
+    span = base.agg(F.min("us").alias("t_min"), F.max("us").alias("t_max"))
+    w = base.join(F.broadcast(span)).select(
+        "cat",
+        (F.col("us") < F.expr("(t_min + t_max) div 2")).alias("is_ref"),
+    )
+    counts = w.groupBy("is_ref", "cat").agg(F.count("*").alias("cnt"))
+    totals = counts.groupBy().agg(
+        F.sum(F.when(F.col("is_ref"), F.col("cnt"))).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), F.col("cnt"))).alias("n_cur"),
+        F.count_distinct("cat").alias("k"),
+    )
+    spine = counts.select("cat").distinct().join(F.broadcast(totals))
+    pivot = (
+        spine.join(
+            counts.filter("is_ref").select("cat", F.col("cnt").alias("c_ref")),
+            "cat",
+            "left",
+        )
+        .join(
+            counts.filter("NOT is_ref").select(
+                "cat", F.col("cnt").alias("c_cur")
+            ),
+            "cat",
+            "left",
+        )
+        .select(
+            "cat",
+            F.coalesce("c_ref", F.lit(0)).alias("n_ref_cat"),
+            F.coalesce("c_cur", F.lit(0)).alias("n_cur_cat"),
+            "n_ref",
+            "n_cur",
+            "k",
+        )
+    )
+    p_ref = (F.col("n_ref_cat") + F.lit(0.5)) / (
+        F.col("n_ref") + F.col("k") / F.lit(2.0)
+    )
+    p_cur = (F.col("n_cur_cat") + F.lit(0.5)) / (
+        F.col("n_cur") + F.col("k") / F.lit(2.0)
+    )
+    return pivot.select(
+        "cat",
+        F.col("n_ref_cat").cast("long").alias("n_ref"),
+        F.col("n_cur_cat").cast("long").alias("n_cur"),
+        r(p_ref).alias("ref_frac"),
+        r(p_cur).alias("cur_frac"),
+        r((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+    )
+
+
+_ROLE_PSI_ORACLE = with_transcripts_cte(
+    """
+SELECT s.cat,
+       cast(coalesce(cr.cnt, 0) AS BIGINT) AS n_ref,
+       cast(coalesce(cc.cnt, 0) AS BIGINT) AS n_cur,
+       round((coalesce(cr.cnt, 0) + 0.5) / (t.n_ref + t.k / 2.0), 6)
+         AS ref_frac,
+       round((coalesce(cc.cnt, 0) + 0.5) / (t.n_cur + t.k / 2.0), 6)
+         AS cur_frac,
+       round(((coalesce(cc.cnt, 0) + 0.5) / (t.n_cur + t.k / 2.0)
+              - (coalesce(cr.cnt, 0) + 0.5) / (t.n_ref + t.k / 2.0))
+             * ln(((coalesce(cc.cnt, 0) + 0.5) / (t.n_cur + t.k / 2.0))
+                  / ((coalesce(cr.cnt, 0) + 0.5) / (t.n_ref + t.k / 2.0))),
+             6) AS psi_term
+FROM (SELECT DISTINCT cat FROM win) s
+CROSS JOIN (SELECT sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+                   sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur,
+                   count(DISTINCT cat) AS k
+            FROM win) t
+LEFT JOIN (SELECT cat, count(*) AS cnt FROM win WHERE is_ref
+           GROUP BY cat) cr ON cr.cat = s.cat
+LEFT JOIN (SELECT cat, count(*) AS cnt FROM win WHERE NOT is_ref
+           GROUP BY cat) cc ON cc.cat = s.cat
+""",
+    extra_ctes="""vals AS (
+    SELECT role AS cat, epoch_us(ts) AS us FROM transcripts
+  ), span AS (
+    SELECT min(us) AS t_min, max(us) AS t_max FROM vals
+  ), win AS (
+    SELECT cat, us < (t_min + t_max) // 2 AS is_ref FROM vals, span
+  )""",
+)
+
+
+@register(
+    "role_drift_psi",
+    oracle=_ROLE_PSI_ORACLE,
+    group=GROUP,
+    gate_oracle=False,
+)
+def role_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI of the role distribution (reference vs current
+    half of the time range) — the C-view twin of feature_drift_psi."""
+    from pymfe_spark.sources import transcripts
+
+    t = transcripts(spark, sf_dir)
+    return psi_categories(t, F.col("role"), F.col("ts"))

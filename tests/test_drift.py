@@ -45,3 +45,44 @@ def test_psi_fractions_are_normalized(spark):
     assert abs(pdf["cur_frac"].sum() - 1.0) < 1e-4
     # counts partition the corpus
     assert (pdf["n_ref"] + pdf["n_cur"]).sum() > 0
+
+
+def test_categorical_psi_detects_planted_mix_shift(spark):
+    from pymfe_spark.operators.drift import psi_categories
+
+    def synth(shifted: bool):
+        # categories a/b/c at 70/20/10 in the reference half; the
+        # drifted second half flips to 10/20/70
+        return spark.range(3000).select(
+            (
+                F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("id"))
+            ).alias("ts"),
+            F.when(
+                (F.col("id") >= 1500) & F.lit(shifted),
+                F.element_at(
+                    F.array(F.lit("c"), F.lit("c"), F.lit("c"), F.lit("c"),
+                            F.lit("c"), F.lit("c"), F.lit("c"), F.lit("b"),
+                            F.lit("b"), F.lit("a")),
+                    (F.col("id") % 10 + 1).cast("int"),
+                ),
+            )
+            .otherwise(
+                F.element_at(
+                    F.array(F.lit("a"), F.lit("a"), F.lit("a"), F.lit("a"),
+                            F.lit("a"), F.lit("a"), F.lit("a"), F.lit("b"),
+                            F.lit("b"), F.lit("c")),
+                    (F.col("id") % 10 + 1).cast("int"),
+                ),
+            )
+            .alias("cat"),
+        )
+
+    stable = psi_categories(
+        synth(False), F.col("cat"), F.col("ts")
+    ).toPandas()
+    drifted = psi_categories(
+        synth(True), F.col("cat"), F.col("ts")
+    ).toPandas()
+    assert stable["psi_term"].sum() < 0.01
+    assert drifted["psi_term"].sum() > 0.25
