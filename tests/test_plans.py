@@ -52,6 +52,10 @@ BNLJ_ALLOWED = {
     # single-row broadcast of the percentile-boundary array onto the
     # corpus (the bucket projection); the big side never re-partitions
     "zz_corpus_shuffle_order",
+    # single-row broadcasts of (time-range, bin-range/category-total)
+    # aggregates onto the scan — the PSI window/bin projections
+    "zz_feature_drift_psi",
+    "zz_role_drift_psi",
 }
 
 
