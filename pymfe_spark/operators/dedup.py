@@ -422,14 +422,9 @@ BV_B = [int(b) for b in _RNG2.randint(0, _P, BND_K)]
 MINHASH_VERIFY_PCT = 35
 
 
-def banded_candidate_pairs(
-    sh: DataFrame, max_band_bucket: int = MAX_BAND_BUCKET
-) -> DataFrame:
-    """Banded candidate generation over a gram table ``(doc_id, h)``:
-    32-way signature agg -> 8 folded band keys -> mega-bucket
-    broadcast-anti cap -> (band, bk) equi-self-join ->
-    ``(doc_a, doc_b, n_bands_matched)``. Shared by the batch verified
-    pipeline and the streaming twin's equivalence test."""
+def band_table(sh: DataFrame) -> DataFrame:
+    """``(doc_id, band, bk)``: the 8 folded band keys per document from
+    a gram table ``(doc_id, h)`` — 32-way signature agg + band fold."""
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(
@@ -453,9 +448,20 @@ def banded_candidate_pairs(
         )
         for b in range(BND_B)
     ]
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bv")
     ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.bk").alias("bk"))
+
+
+def banded_candidate_pairs(
+    sh: DataFrame, max_band_bucket: int = MAX_BAND_BUCKET
+) -> DataFrame:
+    """Banded candidate generation over a gram table ``(doc_id, h)``:
+    32-way signature agg -> 8 folded band keys -> mega-bucket
+    broadcast-anti cap -> (band, bk) equi-self-join ->
+    ``(doc_a, doc_b, n_bands_matched)``. Shared by the batch verified
+    pipeline and the streaming twin's equivalence test."""
+    bands = band_table(sh)
     hot = (
         bands.groupBy("band", "bk")
         .agg(F.count("*").alias("bsz"))
@@ -577,7 +583,9 @@ def _band_key_sql(b: int) -> str:
     return f"({terms}) % {_P}"
 
 
-def _minhash_verified_oracle() -> str:
+def _sig_bands_cte() -> str:
+    """Shared oracle CTE text for the banded signatures: ``sig`` (32
+    affine mins per doc) and ``bands`` (8 folded band keys per doc)."""
     sig_cols = ", ".join(
         f"min(({BV_A[k]}::BIGINT * h + {BV_B[k]}) % {_P}) AS m{k}"
         for k in range(BND_K)
@@ -586,12 +594,16 @@ def _minhash_verified_oracle() -> str:
         f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS bk FROM sig"
         for b in range(BND_B)
     )
-    return f"""
-WITH {_gram_cte()}, sig AS (
+    return f"""sig AS (
   SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id
 ), bands AS (
   {band_rows}
-), cold AS (
+)"""
+
+
+def _minhash_verified_oracle() -> str:
+    return f"""
+WITH {_gram_cte()}, {_sig_bands_cte()}, cold AS (
   SELECT doc_id, band, bk
   FROM (SELECT doc_id, band, bk,
                count(*) OVER (PARTITION BY band, bk) AS bsz
@@ -673,6 +685,172 @@ def dedup_minhash_verified(
             "doc_b",
             "n_bands_matched",
             r(F.col("ninter") / union).alias("jaccard"),
+        )
+    )
+
+
+# --- incremental dedup: new increment vs historical corpus ---------
+#
+# The production daily shape: dedup the new crawl/ingest increment
+# against the already-curated corpus WITHOUT re-pairing history with
+# itself. Deterministic split on the fixture: doc_id % INCR_MOD == 0
+# is the "new" increment (20%), the rest is history.
+INCR_MOD = 5
+
+
+def _incremental_oracle() -> str:
+    return f"""
+WITH {_gram_cte()}, {_sig_bands_cte()},
+newd AS (
+  SELECT doc_id, lower(trim(text)) AS norm FROM documents
+  WHERE doc_id % {INCR_MOD} = 0
+), hn AS (
+  SELECT norm, min(doc_id) AS dup_of_exact
+  FROM (SELECT doc_id, lower(trim(text)) AS norm FROM documents
+        WHERE doc_id % {INCR_MOD} <> 0)
+  GROUP BY norm
+), hbc AS (
+  SELECT doc_id, band, bk
+  FROM (SELECT doc_id, band, bk,
+               count(*) OVER (PARTITION BY band, bk) AS bsz
+        FROM bands WHERE doc_id % {INCR_MOD} <> 0)
+  WHERE bsz <= {MAX_BAND_BUCKET}
+), cand AS (
+  SELECT DISTINCT nb.doc_id AS new_id, hbc.doc_id AS hist_id
+  FROM (SELECT doc_id, band, bk FROM bands
+        WHERE doc_id % {INCR_MOD} = 0) nb
+  JOIN hbc ON nb.band = hbc.band AND nb.bk = hbc.bk
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id
+), inter AS (
+  SELECT c.new_id, c.hist_id, count(*) AS ninter
+  FROM cand c
+  JOIN hashed x ON x.doc_id = c.new_id
+  JOIN hashed y ON y.doc_id = c.hist_id AND y.h = x.h
+  GROUP BY c.new_id, c.hist_id
+), near AS (
+  SELECT i.new_id, min(i.hist_id) AS dup_of_near
+  FROM inter i
+  JOIN sz za ON za.doc_id = i.new_id
+  JOIN sz zb ON zb.doc_id = i.hist_id
+  WHERE i.ninter * 100 >= {MINHASH_VERIFY_PCT} * (za.n + zb.n - i.ninter)
+  GROUP BY i.new_id
+)
+SELECT nd.doc_id,
+       CASE WHEN hn.dup_of_exact IS NOT NULL THEN 'drop_exact'
+            WHEN near.dup_of_near IS NOT NULL THEN 'drop_near'
+            ELSE 'keep' END AS decision,
+       cast(coalesce(hn.dup_of_exact, near.dup_of_near) AS BIGINT)
+         AS dup_of
+FROM newd nd
+LEFT JOIN hn ON hn.norm = nd.norm
+LEFT JOIN near ON near.new_id = nd.doc_id
+"""
+
+
+@register(
+    "dedup_incremental",
+    oracle=_incremental_oracle(),
+    group=GROUP,
+    gate_oracle=False,
+)
+def dedup_incremental(
+    spark: SparkSession, sf_dir: str, max_band_bucket: int = MAX_BAND_BUCKET
+) -> DataFrame:
+    """Dedup a new ingest increment against the historical corpus: one
+    row per NEW document with ``decision`` in {drop_exact, drop_near,
+    keep} and ``dup_of`` = the earliest matching history doc.
+
+    Tiers (exact wins over near): exact = normalized-text equi-join
+    against the per-norm min-doc history aggregate; near = banded
+    MinHash keys of new docs equi-joined against the history band
+    table (mega-buckets capped on the HISTORY side — boilerplate
+    buckets belong to the global exact pass), then the exact
+    gram-Jaccard verify at the integer-exact threshold.
+
+    Scale shape vs the global pipeline: history never self-joins —
+    the increment (small) joins two history-keyed tables, so the
+    per-day cost is O(increment + touched buckets), not O(corpus²).
+    In production the history norm/band tables are the bucketed
+    tables sources/bucketed.py maintains (pay-once layout); here they
+    derive from the same scan so the whole operator stays
+    DuckDB-value-oracled. Within-increment duplicates are NOT paired
+    (that is the global/streaming path's job). Composes with
+    streaming_neardup_candidates: same band keys, same verify."""
+    docs = _docs(spark, sf_dir)
+    is_new = F.pmod(F.col("doc_id"), F.lit(INCR_MOD)) == 0
+    norm = F.lower(F.trim(F.col("text")))
+    new_docs = docs.filter(is_new).select("doc_id", norm.alias("norm"))
+    hist_norms = (
+        docs.filter(~is_new)
+        .select("doc_id", norm.alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("dup_of_exact"))
+    )
+    exact = new_docs.join(hist_norms, "norm", "left").select(
+        "doc_id", "dup_of_exact"
+    )
+
+    bands = band_table(gram_hash_table(spark, sf_dir))
+    is_new_b = F.pmod(F.col("doc_id"), F.lit(INCR_MOD)) == 0
+    hb = bands.filter(~is_new_b)
+    hot = (
+        hb.groupBy("band", "bk")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") > max_band_bucket)
+        .select("band", "bk")
+    )
+    hbc = hb.join(F.broadcast(hot), ["band", "bk"], "left_anti")
+    nb = bands.filter(is_new_b)
+    cand = (
+        nb.alias("n")
+        .join(
+            hbc.alias("h"),
+            (F.col("n.band") == F.col("h.band"))
+            & (F.col("n.bk") == F.col("h.bk")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("h.doc_id").alias("hist_id"),
+        )
+        .distinct()
+    )
+    sh = gram_hash_table(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("new_id") == F.col("x.doc_id"))
+        .join(
+            y,
+            (F.col("hist_id") == F.col("y.doc_id"))
+            & (F.col("x.h") == F.col("y.h")),
+        )
+        .groupBy("new_id", "hist_id")
+        .agg(F.count("*").alias("ninter"))
+    )
+    za, zb = sz.alias("za"), sz.alias("zb")
+    union = F.col("za.n") + F.col("zb.n") - F.col("ninter")
+    near = (
+        inter.join(za, F.col("new_id") == F.col("za.doc_id"))
+        .join(zb, F.col("hist_id") == F.col("zb.doc_id"))
+        .filter(
+            F.col("ninter") * F.lit(100) >= F.lit(MINHASH_VERIFY_PCT) * union
+        )
+        .groupBy("new_id")
+        .agg(F.min("hist_id").alias("dup_of_near"))
+    )
+
+    return (
+        exact.join(near, exact.doc_id == near.new_id, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("dup_of_exact").isNotNull(), F.lit("drop_exact"))
+            .when(F.col("dup_of_near").isNotNull(), F.lit("drop_near"))
+            .otherwise(F.lit("keep"))
+            .alias("decision"),
+            F.coalesce("dup_of_exact", "dup_of_near")
+            .cast("long")
+            .alias("dup_of"),
         )
     )
 

@@ -114,6 +114,71 @@ def test_minhash_verified_recalls_exact_duplicates(spark, gram_sets):
     assert not missing, f"exact-dup pairs not recalled: {sorted(missing)[:5]}"
 
 
+def test_projection_band_keys_equal_aggregated_path(spark):
+    """with_band_keys (the streaming-safe pure projection, let-bound
+    intermediates) must emit bit-identical (doc_id, band, bk) rows to
+    the gram-table groupBy signature path used by the batch pipeline —
+    min over the gram array == min over exploded distinct grams."""
+    from pyspark.sql import functions as F
+
+    from pymfe_spark.operators.dedup import (
+        BND_B,
+        BND_K,
+        BND_R,
+        BV_A,
+        BV_B,
+        GRAM_C,
+        _P,
+        with_band_keys,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    proj = (
+        with_band_keys(docs)
+        .select("doc_id", F.explode("bands").alias("bv"))
+        .select("doc_id", F.col("bv.band").alias("band"), F.col("bv.bk").alias("bk"))
+        .toPandas()
+    )
+    sig = gram_hash_table(spark, SF_SMOKE).groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(F.lit(BV_A[k]) * F.col("h") + F.lit(BV_B[k]), F.lit(_P))
+            ).alias(f"m{k}")
+            for k in range(BND_K)
+        ]
+    )
+    agg = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.pmod(
+                            sum(
+                                F.pmod(
+                                    F.col(f"m{4 * b + j}") * F.lit(GRAM_C[j]),
+                                    F.lit(_P),
+                                )
+                                for j in range(BND_R)
+                            ),
+                            F.lit(_P),
+                        ).alias("bk"),
+                    )
+                    for b in range(BND_B)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.bk").toPandas()
+    key = ["doc_id", "band"]
+    proj = proj.sort_values(key).reset_index(drop=True)
+    agg = agg.sort_values(key).reset_index(drop=True)
+    assert len(proj) > 0
+    assert proj.equals(agg)
+
+
 def test_minhash_verified_recalls_high_jaccard_near_dups(spark):
     """Every near-dup pair the exact shingle join finds at jaccard >=
     0.5 must survive banding (expected recall 1-(1-j^4)^8 >= 0.40 at
@@ -133,3 +198,43 @@ def test_minhash_verified_recalls_high_jaccard_near_dups(spark):
     }
     missing = [t for t in zip(hi["doc_a"], hi["doc_b"]) if t not in got]
     assert not missing, f"high-jaccard pairs not recalled: {missing[:5]}"
+
+
+def test_incremental_dedup_planted_decisions(spark, tmp_path):
+    """Planted increment: an exact duplicate of a history doc (case
+    variant -> drop_exact), a near duplicate (one token changed in 30
+    -> drop_near via band match + jaccard verify), and a unique doc
+    (keep). doc_id % 5 == 0 marks the increment."""
+    import pandas as pd
+
+    from pymfe_spark.operators.dedup import dedup_incremental
+
+    base = " ".join(f"tok{i} word{i * 7 % 13}" for i in range(15))  # 30 tokens
+    near = base.split(" ")
+    near[14] = "CHANGED"
+    other = " ".join(f"zz{i} qq{i}" for i in range(12))
+    rows = [
+        # history (doc_id % 5 != 0)
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": other},
+        # increment (doc_id % 5 == 0)
+        {"doc_id": 0, "text": base.upper()},          # exact (case) dup of 1
+        {"doc_id": 5, "text": " ".join(near)},        # near dup of 1
+        {"doc_id": 10, "text": "totally different words entirely here now"},
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["lang"] = "en"
+    pdf["source"] = "s"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = (
+        dedup_incremental(spark, d)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[0, "decision"] == "drop_exact" and got.loc[0, "dup_of"] == 1
+    assert got.loc[5, "decision"] == "drop_near" and got.loc[5, "dup_of"] == 1
+    assert got.loc[10, "decision"] == "keep" and pd.isna(got.loc[10, "dup_of"])
