@@ -608,3 +608,91 @@ def text_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(toks, lambda t: t.rlike("^ ?[0-9]+$"))
         ).cast("long").alias("n_number_tokens"),
     )
+
+
+# --- corpus-LM quality proxy: unigram log-probability ---------------
+
+_UNIGRAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, i.i AS pos, w[i.i] AS t
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+       unnest(range(1, len(w) + 1)) AS i(i)
+), uni AS (
+  SELECT t, count(*) AS cnt FROM tok GROUP BY t
+), tot AS (
+  SELECT sum(cnt) AS total FROM uni
+), folded AS (
+  SELECT tok.doc_id,
+         count(*) AS n_tokens,
+         list_aggregate(list(ln(uni.cnt) ORDER BY tok.pos), 'sum')
+           AS s_lncnt
+  FROM tok JOIN uni ON uni.t = tok.t
+  GROUP BY tok.doc_id
+)
+SELECT f.doc_id,
+       cast(f.n_tokens AS BIGINT) AS n_tokens,
+       round((f.s_lncnt - f.n_tokens * ln(t.total)) / f.n_tokens, 6)
+         AS avg_logprob
+FROM folded f, tot t
+"""
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=_UNIGRAM_ORACLE,
+    group=GROUP,
+    gate_oracle=False,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality proxy: mean unigram log-probability per
+    document under the corpus's own MLE unigram model —
+    avg_t ln(cnt(t) / total). The honest no-external-model stand-in
+    for the published LM-score quality filters: gibberish and rare-
+    token soup score low, common fluent text scores high.
+
+    Cross-engine float parity: per-document token log-counts are
+    summed by a SEQUENTIAL fold over the position-ordered list
+    (collect_list ordered by pos -> F.aggregate; DuckDB
+    list(... ORDER BY pos) -> list_aggregate), so both engines add in
+    the identical order — an unordered SUM would be
+    accumulation-order-dependent. The model side stays one aggregate:
+    score = (sum ln cnt_t - n·ln total) / n.
+
+    Scale shape: one token exchange for the unigram counts (map-side
+    combine collapses repeats), one token-key join of the exploded
+    corpus against the unigram table (Zipf-headed: AQE skew join
+    splits the stop-word keys; the dedup-style broadcast hot-list is
+    the manual fallback), one doc_id exchange for the fold. At 100 TB
+    the unigram table is a maintained artifact (the corpus_top_ngrams
+    shape), not recomputed per scoring pass."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(_tokens(F.col("text"))).alias("pos", "t"),
+    )
+    uni = tok.groupBy("t").agg(F.count("*").alias("cnt"))
+    tot = uni.agg(F.sum("cnt").alias("total"))
+    folded = (
+        tok.join(uni, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.log(F.col("cnt")).alias("ln_cnt")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["ln_cnt"],
+            ).alias("s_lncnt"),
+        )
+    )
+    return folded.join(F.broadcast(tot)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        r(
+            (F.col("s_lncnt") - F.col("n_tokens") * F.log(F.col("total")))
+            / F.col("n_tokens")
+        ).alias("avg_logprob"),
+    )

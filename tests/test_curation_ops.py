@@ -168,3 +168,30 @@ def test_events_json_malformed_rows_null_out(spark):
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     got = df.select(F.count(k).alias("n")).first()["n"]
     assert got == 1  # malformed + missing-key rows -> NULL, not error
+
+
+def test_unigram_logprob_ranks_common_above_rare(spark, tmp_path):
+    """A document of corpus-common tokens must outscore a document of
+    corpus-unique tokens, and singleton-token docs hit the floor
+    ln(1/total)."""
+    import math
+
+    import pandas as pd
+
+    from pymfe_spark.operators.textops import text_unigram_logprob
+
+    rows = [{"doc_id": i, "text": "the cat sat on the mat"} for i in range(8)]
+    rows.append({"doc_id": 100, "text": "qxzv wkfj plmn zzyx qqrr ttss"})
+    pdf = pd.DataFrame(rows)
+    pdf["lang"] = "en"
+    pdf["source"] = "s"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = text_unigram_logprob(spark, d).toPandas().set_index("doc_id")
+    total = 8 * 6 + 6
+    assert got.loc[0, "avg_logprob"] > got.loc[100, "avg_logprob"]
+    # every token of doc 100 is a singleton: score is exactly ln(1/total)
+    assert abs(got.loc[100, "avg_logprob"] - math.log(1 / total)) < 1e-5
+    assert (got["n_tokens"] == 6).all()
