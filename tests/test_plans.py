@@ -56,6 +56,8 @@ BNLJ_ALLOWED = {
     # aggregates onto the scan — the PSI window/bin projections
     "zz_feature_drift_psi",
     "zz_role_drift_psi",
+    # single-row broadcast of the corpus token total onto per-doc sums
+    "zz_text_unigram_logprob",
 }
 
 
