@@ -60,6 +60,7 @@ _OPERATOR_MODULES = (
     "pymfe_spark.operators.jsonops",
     "pymfe_spark.operators.curation",
     "pymfe_spark.operators.drift",
+    "pymfe_spark.operators.tabular",
     "pymfe_spark.operators.sketch",
     "pymfe_spark.operators.skew",
     "pymfe_spark.plans.extractor_queries",

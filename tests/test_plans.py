@@ -58,6 +58,8 @@ BNLJ_ALLOWED = {
     "zz_role_drift_psi",
     # single-row broadcast of the corpus token total onto per-doc sums
     "zz_text_unigram_logprob",
+    # single-row broadcast of the global means onto the moment pass
+    "zz_mfe_tabular_lineitem",
 }
 
 
