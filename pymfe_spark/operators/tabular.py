@@ -55,32 +55,35 @@ def _summary_exprs(vals):
     return mean, F.sqrt(var)
 
 
-def mfe_tabular(df: DataFrame, cols=NUM_COLS) -> DataFrame:
+def mfe_tabular(df: DataFrame, cols=NUM_COLS, by: str | None = None) -> DataFrame:
     """Long-format meta-feature vector of the numeric columns of an
-    arbitrary DataFrame (see module doc)."""
+    arbitrary DataFrame (see module doc). With ``by``, every group is
+    its own pymfe dataset — the engine's core semantic inversion
+    (thousands of fits in one plan) applied to any table: the two
+    aggregation passes gain the group key (same shuffle count, keyed),
+    and the means join becomes a broadcast equi-join on ``by``."""
     k = len(cols)
-    mu = df.agg(
+    mu_aggs = [
         F.count("*").alias("n"),
         *[F.avg(c).alias(f"mu{i}") for i, c in enumerate(cols)],
-    )
+    ]
+    mu = df.groupBy(by).agg(*mu_aggs) if by else df.agg(*mu_aggs)
     d = [F.col(c) - F.col(f"mu{i}") for i, c in enumerate(cols)]
-    mom = (
-        df.join(F.broadcast(mu))
-        .agg(
-            F.max("n").alias("n"),
-            *[F.max(f"mu{i}").alias(f"mu{i}") for i in range(k)],
-            *[F.avg(d[i] * d[i]).alias(f"m2_{i}") for i in range(k)],
-            *[F.avg(d[i] * d[i] * d[i]).alias(f"m3_{i}") for i in range(k)],
-            *[
-                F.avg(d[i] * d[i] * d[i] * d[i]).alias(f"m4_{i}")
-                for i in range(k)
-            ],
-            *[
-                F.avg(d[i] * d[j]).alias(f"cx_{i}_{j}")
-                for i, j in _PAIRS
-            ],
-        )
+    joined = (
+        df.join(F.broadcast(mu), by) if by else df.join(F.broadcast(mu))
     )
+    mom_aggs = [
+        F.max("n").alias("n"),
+        *[F.max(f"mu{i}").alias(f"mu{i}") for i in range(k)],
+        *[F.avg(d[i] * d[i]).alias(f"m2_{i}") for i in range(k)],
+        *[F.avg(d[i] * d[i] * d[i]).alias(f"m3_{i}") for i in range(k)],
+        *[
+            F.avg(d[i] * d[i] * d[i] * d[i]).alias(f"m4_{i}")
+            for i in range(k)
+        ],
+        *[F.avg(d[i] * d[j]).alias(f"cx_{i}_{j}") for i, j in _PAIRS],
+    ]
+    mom = joined.groupBy(by).agg(*mom_aggs) if by else joined.agg(*mom_aggs)
     n = F.col("n").cast("double")
     bessel = n / (n - F.lit(1.0))
     means = [F.col(f"mu{i}") for i in range(k)]
@@ -122,23 +125,27 @@ def mfe_tabular(df: DataFrame, cols=NUM_COLS) -> DataFrame:
     rows.append(("attr_to_inst", F.lit(float(k)) / n))
     rows.append(("inst_to_attr", n / F.lit(float(k))))
 
-    out = mom.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(nm).alias("mtf_name"),
-                        F.round(v, 4).alias("mtf_val"),
-                    )
-                    for nm, v in rows
-                ]
-            )
-        ).alias("r")
-    )
+    exploded = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(nm).alias("mtf_name"),
+                    F.round(v, 4).alias("mtf_val"),
+                )
+                for nm, v in rows
+            ]
+        )
+    ).alias("r")
+    if by:
+        out = mom.select(F.col(by), exploded)
+        return out.select(by, "r.mtf_name", "r.mtf_val").orderBy(
+            by, "mtf_name"
+        )
+    out = mom.select(exploded)
     return out.select("r.mtf_name", "r.mtf_val").orderBy("mtf_name")
 
 
-def _tabular_oracle() -> str:
+def _tabular_oracle(by: str | None = None) -> str:
     k = len(NUM_COLS)
     mu_cols = ", ".join(
         f"avg({c}) AS mu{i}" for i, c in enumerate(NUM_COLS)
@@ -184,6 +191,7 @@ def _tabular_oracle() -> str:
         sq = " + ".join(f"((({v}) - {mean}) * (({v}) - {mean}))" for v in vals)
         return mean, f"sqrt(({sq}) / {float(n - 1)})"
 
+    g = f"{by}, " if by else ""
     selects = []
     for name, vals in (
         ("mean", means),
@@ -194,13 +202,28 @@ def _tabular_oracle() -> str:
         ("cor", cors),
     ):
         m, s = summ(vals)
-        selects.append(f"SELECT '{name}.mean' AS mtf_name, round({m}, 4) AS mtf_val FROM mom")
-        selects.append(f"SELECT '{name}.sd', round({s}, 4) FROM mom")
-    selects.append("SELECT 'nr_inst', round(n, 4) FROM mom")
-    selects.append(f"SELECT 'nr_attr', {float(k)} FROM mom")
-    selects.append(f"SELECT 'attr_to_inst', round({float(k)} / n, 4) FROM mom")
-    selects.append(f"SELECT 'inst_to_attr', round(n / {float(k)}, 4) FROM mom")
+        selects.append(
+            f"SELECT {g}'{name}.mean' AS mtf_name, round({m}, 4) AS mtf_val FROM mom"
+        )
+        selects.append(f"SELECT {g}'{name}.sd', round({s}, 4) FROM mom")
+    selects.append(f"SELECT {g}'nr_inst', round(n, 4) FROM mom")
+    selects.append(f"SELECT {g}'nr_attr', {float(k)} FROM mom")
+    selects.append(f"SELECT {g}'attr_to_inst', round({float(k)} / n, 4) FROM mom")
+    selects.append(f"SELECT {g}'inst_to_attr', round(n / {float(k)}, 4) FROM mom")
     body = "\nUNION ALL ".join(selects)
+    if by:
+        return f"""
+WITH mu AS (
+  SELECT {by} AS grp, count(*) AS n, {mu_cols}
+  FROM lineitem GROUP BY {by}
+), mom AS (
+  SELECT m.grp AS {by}, max(m.n)::DOUBLE AS n, {mom_cols}
+  FROM lineitem t JOIN mu m ON t.{by} = m.grp
+  GROUP BY m.grp
+)
+{body}
+ORDER BY {by}, mtf_name
+"""
     return f"""
 WITH mu AS (
   SELECT count(*) AS n, {mu_cols} FROM lineitem
@@ -224,3 +247,20 @@ def mfe_tabular_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (lineitem's 4 numeric attributes)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*NUM_COLS)
     return mfe_tabular(li)
+
+
+@register(
+    "mfe_tabular_by_returnflag",
+    oracle=_tabular_oracle(by="l_returnflag"),
+    group=GROUP,
+    gate_oracle=False,
+)
+def mfe_tabular_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped tabular extraction — every l_returnflag group is its own
+    pymfe dataset, all fit in one plan (the engine's per-conversation
+    inversion applied to an arbitrary table: 3 datasets here, millions
+    at 100 TB, same two keyed exchanges)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", *NUM_COLS
+    )
+    return mfe_tabular(li, by="l_returnflag")

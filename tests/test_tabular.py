@@ -7,6 +7,7 @@ implementation."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from pymfe_spark.operators.tabular import NUM_COLS, mfe_tabular_lineitem
 from tests.conftest import SF_SMOKE
@@ -62,3 +63,29 @@ def test_tabular_mfe_matches_numpy_truth(spark):
     for name, w in want.items():
         # engine rounds at 4; allow the rounding plus float slack
         assert abs(got[name] - w) < 1.5e-4, (name, got[name], w)
+
+
+def test_grouped_extraction_equals_filtered_ungrouped(spark):
+    """Per-group meta-features must equal running the ungrouped
+    extractor on that group's filtered rows — every group IS a
+    dataset."""
+    from pymfe_spark.operators.tabular import mfe_tabular
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_returnflag", *NUM_COLS
+    )
+    grouped = (
+        mfe_tabular(li, by="l_returnflag")
+        .toPandas()
+        .set_index(["l_returnflag", "mtf_name"])["mtf_val"]
+    )
+    flags = sorted(grouped.index.get_level_values(0).unique())
+    assert len(flags) >= 2
+    for flag in flags:
+        solo = (
+            mfe_tabular(li.filter(F.col("l_returnflag") == flag).drop("l_returnflag"))
+            .toPandas()
+            .set_index("mtf_name")["mtf_val"]
+        )
+        for name, v in solo.items():
+            assert abs(grouped.loc[(flag, name)] - v) < 2e-4, (flag, name)
