@@ -86,3 +86,15 @@ def test_categorical_psi_detects_planted_mix_shift(spark):
     ).toPandas()
     assert stable["psi_term"].sum() < 0.01
     assert drifted["psi_term"].sum() > 0.25
+
+
+def test_psi_terms_are_nonnegative(spark):
+    """Each PSI term (p_cur - p_ref)·ln(p_cur/p_ref) is nonnegative by
+    construction (the factors share sign) — a planted invariant that
+    catches smoothing or pivot mistakes in either engine."""
+    from pymfe_spark.operators.drift import role_drift_psi
+
+    num = feature_drift_psi(spark, SF_SMOKE).toPandas()
+    cat = role_drift_psi(spark, SF_SMOKE).toPandas()
+    assert (num["psi_term"] >= 0).all()
+    assert (cat["psi_term"] >= 0).all()
