@@ -1,3 +1,6 @@
+from pymfe_spark.streaming.drift import (  # noqa: F401
+    streaming_drift_bin_counts,
+)
 from pymfe_spark.streaming.neardup import (  # noqa: F401
     streaming_neardup_candidates,
 )

@@ -369,3 +369,62 @@ def test_streaming_neardup_candidates_match_batch(spark):
     assert not got.duplicated(["band", "bk", "doc_a", "doc_b"]).any()
     shutil.rmtree(in_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_drift_counts_match_batch(spark):
+    """The streaming drift monitor's per-(event-time window, bin)
+    counts over replayed turn files must equal the batch twin exactly
+    (integer counts), and the per-window PSI assembled from them must
+    be finite and nonnegative."""
+    from pymfe_spark.sources import transcripts
+    from pymfe_spark.streaming.drift import (
+        batch_drift_bin_counts,
+        psi_from_counts,
+        reference_bin_profile,
+        streaming_drift_bin_counts,
+    )
+
+    in_dir, ckpt = "/tmp/drift_stream_in", "/tmp/drift_stream_ckpt"
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t = transcripts(spark, SF_SMOKE)
+    for i in range(3):
+        t.filter(F.pmod(F.crc32(F.col("conv_id")), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    profile = reference_bin_profile(spark, SF_SMOKE)
+    out = streaming_drift_bin_counts(
+        spark, in_dir, profile, window="6 hours", max_files_per_trigger=1
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drift_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = (
+        spark.table("drift_stream")
+        .toPandas()
+        .sort_values(["win_start", "bin"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        batch_drift_bin_counts(spark, SF_SMOKE, profile, window="6 hours")
+        .toPandas()
+        .sort_values(["win_start", "bin"])
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == len(batch) > 0
+    assert streamed.equals(batch)
+
+    one_win = streamed[streamed["win_start"] == streamed["win_start"].iloc[0]]
+    psi = psi_from_counts(
+        dict(zip(one_win["bin"], one_win["n_cur"])), profile["ref_fracs"]
+    )
+    assert psi >= 0.0 and psi == psi  # finite, nonnegative
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
