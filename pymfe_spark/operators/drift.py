@@ -275,6 +275,126 @@ LEFT JOIN (SELECT cat, count(*) AS cnt FROM win WHERE NOT is_ref
 )
 
 
+def ks_statistic(df: DataFrame, value: Column, ts: Column) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the reference
+    and current halves of the time range, EXACT until the final
+    division: D = max_v |F_ref(v) - F_cur(v)| is maximized over the
+    integer numerator |cr·n_cur - cc·n_ref| (decimal(38,0) / HUGEINT —
+    no float ever enters the argmax), so both engines agree on the
+    maximizing value bit-for-bit; ties break to the smallest v.
+
+    Scale shape: one exchange for per-value counts (cardinality =
+    DISTINCT feature values, not rows — pre-bin a continuous feature
+    first), a single-partition cumulative window over those distinct
+    values (bounded by value cardinality, not data volume), and a
+    TakeOrderedAndProject for the argmax. Output: one row
+    (ks_at, n_ref, n_cur, ks)."""
+    base = df.select(
+        value.cast("long").alias("v"),
+        epoch_us(ts.cast("timestamp")).alias("us"),
+    )
+    span = base.agg(F.min("us").alias("t_min"), F.max("us").alias("t_max"))
+    w = base.join(F.broadcast(span)).select(
+        "v",
+        (F.col("us") < F.expr("(t_min + t_max) div 2")).alias("is_ref"),
+    )
+    per_v = w.groupBy("v").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("cr_i"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cc_i"),
+    )
+    tot = per_v.agg(
+        F.sum("cr_i").alias("n_ref"), F.sum("cc_i").alias("n_cur")
+    )
+    from pyspark.sql.window import Window
+
+    cw = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("cr_i").over(cw).alias("cr"),
+        F.sum("cc_i").over(cw).alias("cc"),
+    )
+    dec = "decimal(38,0)"
+    num = F.abs(
+        F.col("cr").cast(dec) * F.col("n_cur").cast(dec)
+        - F.col("cc").cast(dec) * F.col("n_ref").cast(dec)
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .select(
+            F.col("v").alias("ks_at"),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            num.alias("numer"),
+        )
+        .orderBy(F.col("numer").desc(), F.col("ks_at").asc())
+        .limit(1)
+        .select(
+            "ks_at",
+            "n_ref",
+            "n_cur",
+            r(
+                F.col("numer").cast("double")
+                / (
+                    F.col("n_ref").cast("double")
+                    * F.col("n_cur").cast("double")
+                )
+            ).alias("ks"),
+        )
+    )
+
+
+_KS_ORACLE = with_transcripts_cte(
+    """
+SELECT v AS ks_at,
+       cast(n_ref AS BIGINT) AS n_ref,
+       cast(n_cur AS BIGINT) AS n_cur,
+       round(numer::DOUBLE / (n_ref::DOUBLE * n_cur::DOUBLE), 6) AS ks
+FROM (
+  SELECT c.v, t.n_ref, t.n_cur,
+         abs(c.cr::HUGEINT * t.n_cur - c.cc::HUGEINT * t.n_ref) AS numer
+  FROM cum c CROSS JOIN tot t
+)
+ORDER BY numer DESC, ks_at ASC
+LIMIT 1
+""",
+    extra_ctes=f"""{TURNS_SQL},
+  vals AS (
+    SELECT cast(text_len AS BIGINT) AS v, epoch_us(ts) AS us FROM turns
+  ), span AS (
+    SELECT min(us) AS t_min, max(us) AS t_max FROM vals
+  ), win AS (
+    SELECT v, us < (t_min + t_max) // 2 AS is_ref FROM vals, span
+  ), per_v AS (
+    SELECT v,
+           sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr_i,
+           sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc_i
+    FROM win GROUP BY v
+  ), tot AS (
+    SELECT sum(cr_i) AS n_ref, sum(cc_i) AS n_cur FROM per_v
+  ), cum AS (
+    SELECT v,
+           sum(cr_i) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+           sum(cc_i) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+    FROM per_v
+  )""",
+)
+
+
+@register(
+    "feature_drift_ks",
+    oracle=_KS_ORACLE,
+    group=GROUP,
+    gate_oracle=False,
+)
+def feature_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic of text_len between the reference
+    and current halves of the time range (see ks_statistic)."""
+    t = turns(spark, sf_dir)
+    return ks_statistic(t, F.col("text_len"), F.col("ts"))
+
+
 @register(
     "role_drift_psi",
     oracle=_ROLE_PSI_ORACLE,

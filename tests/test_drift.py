@@ -98,3 +98,33 @@ def test_psi_terms_are_nonnegative(spark):
     cat = role_drift_psi(spark, SF_SMOKE).toPandas()
     assert (num["psi_term"] >= 0).all()
     assert (cat["psi_term"] >= 0).all()
+
+
+def test_ks_statistic_matches_numpy_and_detects_shift(spark):
+    """KS on the synthetic halves must equal the exact numpy two-sample
+    KS; a planted shift must raise it near 0.6 (60% of the range
+    shifted out of overlap) and identical halves must read ~0."""
+    import numpy as np
+
+    from pymfe_spark.operators.drift import ks_statistic
+
+    def np_ks(a, b):
+        vals = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(np.sort(a), vals, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), vals, side="right") / len(b)
+        return np.max(np.abs(fa - fb))
+
+    for shift in (0, 60):
+        df = _synth(spark, shift).toPandas()
+        # replicate the op's midpoint split
+        us = df["ts"].astype("int64")
+        cut = (us.min() + us.max()) // 2
+        a = df.loc[us < cut, "v"].to_numpy()
+        b = df.loc[us >= cut, "v"].to_numpy()
+        got = ks_statistic(
+            _synth(spark, shift), F.col("v"), F.col("ts")
+        ).toPandas()
+        want = np_ks(a, b)
+        assert abs(got["ks"].iloc[0] - want) < 1e-6, (shift, got, want)
+    # the planted 60%-shift leaves 40% overlap -> KS = 0.6 exactly
+    assert abs(got["ks"].iloc[0] - 0.6) < 0.02

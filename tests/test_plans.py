@@ -60,6 +60,9 @@ BNLJ_ALLOWED = {
     "zz_text_unigram_logprob",
     # single-row broadcast of the global means onto the moment pass
     "zz_mfe_tabular_lineitem",
+    # single-row broadcasts of time-range span and count totals onto
+    # the distinct-value CDF table (cardinality-bounded, not data-sized)
+    "zz_feature_drift_ks",
 }
 
 
