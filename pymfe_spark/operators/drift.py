@@ -408,3 +408,157 @@ def role_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = transcripts(spark, sf_dir)
     return psi_categories(t, F.col("role"), F.col("ts"))
+
+
+def chi2_homogeneity(df: DataFrame, cat: Column, ts: Column) -> DataFrame:
+    """Two-sample chi-squared homogeneity statistic between the
+    reference/current halves: chi2 = sum over the 2k cells of
+    (O - E)^2 / E with E = row_total * col_total / N.
+
+    Exactness: each cell's deviation d = O*N - R*C is exact
+    decimal(38,0)/HUGEINT; only then does one double conversion feed
+    the term d^2 / (N*R*C), and the k-cell sum folds sequentially over
+    the category-sorted list so both engines accumulate in the same
+    order. Output: one row (k, n_ref, n_cur, chi2, dof)."""
+    base = df.select(
+        cat.alias("cat"), epoch_us(ts.cast("timestamp")).alias("us")
+    )
+    span = base.agg(F.min("us").alias("t_min"), F.max("us").alias("t_max"))
+    w = base.join(F.broadcast(span)).select(
+        "cat",
+        (F.col("us") < F.expr("(t_min + t_max) div 2")).alias("is_ref"),
+    )
+    obs = w.groupBy("cat", "is_ref").agg(F.count("*").alias("o"))
+    tot = obs.groupBy().agg(
+        F.sum(F.when(F.col("is_ref"), F.col("o"))).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), F.col("o"))).alias("n_cur"),
+        F.count_distinct("cat").alias("k"),
+    )
+    cols = obs.groupBy("cat").agg(F.sum("o").alias("c_tot"))
+    # full 2k cell spine: a category absent from one window still owes
+    # its (0 - E)^2 / E term — without the zero cell the statistic
+    # understates exactly the strongest drift signal
+    spine = cols.select("cat").crossJoin(
+        F.broadcast(
+            obs.sparkSession.range(2).select(
+                (F.col("id") == 0).alias("is_ref")
+            )
+        )
+    )
+    cells = spine.join(obs, ["cat", "is_ref"], "left").select(
+        "cat", "is_ref", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    dec = "decimal(38,0)"
+    joined = (
+        cells.join(cols, "cat")
+        .join(F.broadcast(tot))
+        .select(
+            "cat",
+            "is_ref",
+            "n_ref",
+            "n_cur",
+            "k",
+            (
+                F.col("o").cast(dec)
+                * (F.col("n_ref") + F.col("n_cur")).cast(dec)
+                - F.when(F.col("is_ref"), F.col("n_ref"))
+                .otherwise(F.col("n_cur"))
+                .cast(dec)
+                * F.col("c_tot").cast(dec)
+            ).alias("d"),
+            F.when(F.col("is_ref"), F.col("n_ref"))
+            .otherwise(F.col("n_cur"))
+            .cast("double")
+            .alias("r_tot"),
+            F.col("c_tot").cast("double").alias("c_tot_d"),
+        )
+    )
+    n_d = (F.col("n_ref") + F.col("n_cur")).cast("double")
+    term = (
+        F.col("d").cast("double")
+        * F.col("d").cast("double")
+        / (n_d * F.col("r_tot") * F.col("c_tot_d"))
+    )
+    return (
+        joined.select("n_ref", "n_cur", "k", "cat", "is_ref", term.alias("t"))
+        .groupBy("n_ref", "n_cur", "k")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("cat", "is_ref", F.col("t")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ).alias("chi2_raw")
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            r(F.col("chi2_raw")).alias("chi2"),
+            (F.col("k") - 1).cast("long").alias("dof"),
+        )
+    )
+
+
+_CHI2_ORACLE = with_transcripts_cte(
+    """
+SELECT cast(t.k AS BIGINT) AS k,
+       cast(t.n_ref AS BIGINT) AS n_ref,
+       cast(t.n_cur AS BIGINT) AS n_cur,
+       round(list_aggregate(
+         list(
+           (c.d::DOUBLE * c.d::DOUBLE)
+             / ((t.n_ref + t.n_cur)::DOUBLE * c.r_tot::DOUBLE
+                * c.c_tot::DOUBLE)
+           ORDER BY c.cat, c.is_ref
+         ), 'sum'), 6) AS chi2,
+       cast(t.k - 1 AS BIGINT) AS dof
+FROM celld c CROSS JOIN tot t
+GROUP BY t.k, t.n_ref, t.n_cur
+""",
+    extra_ctes="""vals AS (
+    SELECT role AS cat, epoch_us(ts) AS us FROM transcripts
+  ), span AS (
+    SELECT min(us) AS t_min, max(us) AS t_max FROM vals
+  ), win AS (
+    SELECT cat, us < (t_min + t_max) // 2 AS is_ref FROM vals, span
+  ), cells AS (
+    SELECT cat, is_ref, count(*) AS o FROM win GROUP BY cat, is_ref
+  ), tot AS (
+    SELECT sum(CASE WHEN is_ref THEN o ELSE 0 END) AS n_ref,
+           sum(CASE WHEN is_ref THEN 0 ELSE o END) AS n_cur,
+           count(DISTINCT cat) AS k
+    FROM cells
+  ), cols AS (
+    SELECT cat, sum(o) AS c_tot FROM cells GROUP BY cat
+  ), spine AS (
+    -- full 2k cell grid: zero cells still owe their (0-E)^2/E term
+    SELECT l.cat, l.c_tot, s.is_ref, coalesce(c.o, 0) AS o
+    FROM cols l
+    CROSS JOIN (VALUES (true), (false)) s(is_ref)
+    LEFT JOIN cells c ON c.cat = l.cat AND c.is_ref = s.is_ref
+  ), celld AS (
+    SELECT c.cat, c.is_ref, c.c_tot,
+           CASE WHEN c.is_ref THEN t.n_ref ELSE t.n_cur END AS r_tot,
+           c.o::HUGEINT * (t.n_ref + t.n_cur)::HUGEINT
+             - (CASE WHEN c.is_ref THEN t.n_ref ELSE t.n_cur
+                END)::HUGEINT * c.c_tot::HUGEINT AS d
+    FROM spine c CROSS JOIN tot t
+  )""",
+)
+
+
+@register(
+    "role_drift_chi2",
+    oracle=_CHI2_ORACLE,
+    group=GROUP,
+    gate_oracle=False,
+)
+def role_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-squared homogeneity of the role distribution
+    between the reference and current halves (see chi2_homogeneity)."""
+    from pymfe_spark.sources import transcripts
+
+    t = transcripts(spark, sf_dir)
+    return chi2_homogeneity(t, F.col("role"), F.col("ts"))

@@ -128,3 +128,56 @@ def test_ks_statistic_matches_numpy_and_detects_shift(spark):
         assert abs(got["ks"].iloc[0] - want) < 1e-6, (shift, got, want)
     # the planted 60%-shift leaves 40% overlap -> KS = 0.6 exactly
     assert abs(got["ks"].iloc[0] - 0.6) < 0.02
+
+
+def test_chi2_matches_numpy_and_detects_shift(spark):
+    """chi2 must equal the numpy contingency computation (including a
+    zero cell when a category exists in only one window), read ~dof on
+    identical halves, and blow up on the planted mix flip."""
+    import numpy as np
+
+    from pymfe_spark.operators.drift import chi2_homogeneity
+
+    def synth_cat(flip: bool, with_new_cat: bool = False):
+        arr = ["a"] * 7 + ["b"] * 2 + ["c"]
+        flipped = ["c"] * 7 + ["b"] * 2 + ["a"]
+        rows = []
+        for i in range(3000):
+            src = flipped if (flip and i >= 1500) else arr
+            c = src[i % 10]
+            if with_new_cat and i >= 1500 and i % 100 == 0:
+                c = "zz"
+            rows.append((i, c))
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["id", "cat"])
+        pdf["ts"] = pd.Timestamp("2025-01-01") + pd.to_timedelta(
+            pdf["id"], unit="s"
+        )
+        return spark.createDataFrame(pdf[["cat", "ts"]])
+
+    def np_chi2(cats_a, cats_b):
+        cats = sorted(set(cats_a) | set(cats_b))
+        oa = np.array([cats_a.count(c) for c in cats], dtype=float)
+        ob = np.array([cats_b.count(c) for c in cats], dtype=float)
+        N = oa.sum() + ob.sum()
+        chi2 = 0.0
+        for o_row, r in ((oa, oa.sum()), (ob, ob.sum())):
+            e = r * (oa + ob) / N
+            chi2 += (((o_row - e) ** 2) / e).sum()
+        return chi2
+
+    for flip, newcat in ((False, False), (True, False), (True, True)):
+        df = synth_cat(flip, newcat)
+        got = chi2_homogeneity(df, F.col("cat"), F.col("ts")).toPandas()
+        pdf = df.toPandas()
+        us = pdf["ts"].astype("int64")
+        cut = (us.min() + us.max()) // 2
+        a = pdf.loc[us < cut, "cat"].tolist()
+        b = pdf.loc[us >= cut, "cat"].tolist()
+        want = np_chi2(a, b)
+        assert abs(got["chi2"].iloc[0] - want) < 1e-4, (flip, newcat)
+        if not flip:
+            assert got["chi2"].iloc[0] < 12  # ~dof under homogeneity
+        else:
+            assert got["chi2"].iloc[0] > 1000  # mix flip alarms

@@ -63,6 +63,8 @@ BNLJ_ALLOWED = {
     # single-row broadcasts of time-range span and count totals onto
     # the distinct-value CDF table (cardinality-bounded, not data-sized)
     "zz_feature_drift_ks",
+    # span/total 1-row broadcasts + the 2-row window-flag spine
+    "zz_role_drift_chi2",
 }
 
 
