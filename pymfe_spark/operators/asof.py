@@ -150,7 +150,9 @@ def asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASOF_B_ORACLE = _ASOF_ORACLE
 
 
-@register("asof_snapshot_broadcast", oracle=_ASOF_B_ORACLE, group=GROUP)
+@register("asof_snapshot_broadcast", oracle=_ASOF_B_ORACLE, group=GROUP,
+          # rotated out of the gate r3 (long-green); pytest enforces
+          gate_oracle=False)
 def asof_snapshot_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics via the broadcast-packed-array physical strategy —
     both plans must agree with the DuckDB ASOF oracle."""

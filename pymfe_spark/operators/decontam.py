@@ -65,8 +65,7 @@ GROUP BY t.doc_id
 """
 
 
-@register("decontam_ngram", oracle=_DECONTAM_ORACLE, group=GROUP,
-          gate_oracle=False)
+@register("decontam_ngram", oracle=_DECONTAM_ORACLE, group=GROUP)
 def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-training-doc benchmark contamination: how many of its word
     4-grams appear anywhere in the benchmark split.

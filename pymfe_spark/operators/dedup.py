@@ -226,7 +226,8 @@ def _poly_hash(col: Column) -> Column:
 # weight scheme across token boundaries. Products stay < 2^62 and each
 # is reduced mod P before summing (4 terms < 4P), so both engines run
 # exact int64 arithmetic.
-GRAM_C = [pow(31, 8 * j, _P) for j in range(4)]
+GRAM_W = 4  # shingle width (tokens per word-gram); independent of BND_R
+GRAM_C = [pow(31, 8 * j, _P) for j in range(GRAM_W)]
 
 
 def gram_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,7 +253,7 @@ def gram_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = toks.select(
         "doc_id", F.transform("w", lambda t: poly_hash(t)).alias("hw")
     )
-    k4 = F.size(F.col("hw")) - 3
+    k4 = F.size(F.col("hw")) - (GRAM_W - 1)
     gram = F.transform(
         F.sequence(F.lit(1), F.greatest(k4, F.lit(1))),
         lambda i: F.pmod(
@@ -262,7 +263,7 @@ def gram_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.lit(GRAM_C[j]),
                     F.lit(_P),
                 )
-                for j in range(4)
+                for j in range(GRAM_W)
             ),
             F.lit(_P),
         ),
@@ -282,7 +283,7 @@ def _gram_cte() -> str:
 
     w_sql = "[" + ", ".join(str(w) for w in FP_WEIGHTS) + "]"
     gram_expr = " + ".join(
-        f"(hw[i.i + {j}] * {GRAM_C[j]}) % {_P}" for j in range(4)
+        f"(hw[i.i + {j}] * {GRAM_C[j]}) % {_P}" for j in range(GRAM_W)
     )
     return f"""toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -549,7 +550,9 @@ def with_band_keys(df: DataFrame) -> DataFrame:
         )
 
     def grams_of(hw: Column) -> Column:
-        k4 = F.size(hw) - 3
+        # shingle width is GRAM_W (matches gram_hash_table), NOT BND_R
+        # (rows-per-band) — the two are only coincidentally both 4
+        k4 = F.size(hw) - (GRAM_W - 1)
         gram = F.transform(
             F.sequence(F.lit(1), F.greatest(k4, F.lit(1))),
             lambda i: F.pmod(
@@ -559,7 +562,7 @@ def with_band_keys(df: DataFrame) -> DataFrame:
                         * F.lit(GRAM_C[j]),
                         F.lit(_P),
                     )
-                    for j in range(BND_R)
+                    for j in range(GRAM_W)
                 ),
                 F.lit(_P),
             ),
@@ -637,7 +640,6 @@ WHERE i.ninter * 100 >= {MINHASH_VERIFY_PCT} * (za.n + zb.n - i.ninter)
     "dedup_minhash_verified",
     oracle=_minhash_verified_oracle(),
     group=GROUP,
-    gate_oracle=False,
 )
 def dedup_minhash_verified(
     spark: SparkSession, sf_dir: str, max_band_bucket: int = MAX_BAND_BUCKET
@@ -752,7 +754,6 @@ LEFT JOIN near ON near.new_id = nd.doc_id
     "dedup_incremental",
     oracle=_incremental_oracle(),
     group=GROUP,
-    gate_oracle=False,
 )
 def dedup_incremental(
     spark: SparkSession, sf_dir: str, max_band_bucket: int = MAX_BAND_BUCKET

@@ -47,6 +47,27 @@ GROUP = "drift"
 N_BINS = 10
 
 
+def _guard_split(df: DataFrame, pred: Column, what: str) -> DataFrame:
+    """Fail LOUDLY instead of emitting NULL/NaN rows when the midpoint
+    split degenerates — e.g. every row shares one timestamp, so no row
+    satisfies ``us < midpoint`` and the reference half is empty. A
+    monitoring consumer must never read NaN as "no drift".
+
+    ``assert_true`` evaluates to NULL when the predicate holds, so the
+    ``where(... isNull())`` keeps every row and costs nothing on
+    healthy data; on a degenerate window the job raises at run time
+    with the message below."""
+    return df.where(
+        F.assert_true(
+            pred,
+            F.lit(
+                f"degenerate drift window ({what}): the midpoint split"
+                " left a half empty — check the input time range"
+            ),
+        ).isNull()
+    )
+
+
 def psi_bins(df: DataFrame, value: Column, ts: Column) -> DataFrame:
     """Per-bin PSI terms for ``value`` (must be integral-valued),
     splitting ``df`` into reference/current halves at the midpoint of
@@ -69,7 +90,11 @@ def psi_bins(df: DataFrame, value: Column, ts: Column) -> DataFrame:
         w.filter("is_ref")
         .agg(F.min("v").alias("l_min"), F.max("v").alias("l_max"))
     )
-    binned = w.join(F.broadcast(ref_range)).select(
+    binned = _guard_split(
+        w.join(F.broadcast(ref_range)),
+        F.col("l_min").isNotNull(),
+        "psi_bins: empty reference half",
+    ).select(
         "is_ref",
         F.expr(
             f"(least(greatest(v, l_min), l_max) - l_min) * {N_BINS} "
@@ -173,7 +198,6 @@ LEFT JOIN (SELECT bin, count(*) AS cnt FROM binned WHERE NOT is_ref
     "feature_drift_psi",
     oracle=_PSI_ORACLE,
     group=GROUP,
-    gate_oracle=False,
 )
 def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI of the text_len feature: first half of the time range
@@ -197,10 +221,14 @@ def psi_categories(df: DataFrame, cat: Column, ts: Column) -> DataFrame:
         (F.col("us") < F.expr("(t_min + t_max) div 2")).alias("is_ref"),
     )
     counts = w.groupBy("is_ref", "cat").agg(F.count("*").alias("cnt"))
-    totals = counts.groupBy().agg(
-        F.sum(F.when(F.col("is_ref"), F.col("cnt"))).alias("n_ref"),
-        F.sum(F.when(~F.col("is_ref"), F.col("cnt"))).alias("n_cur"),
-        F.count_distinct("cat").alias("k"),
+    totals = _guard_split(
+        counts.groupBy().agg(
+            F.sum(F.when(F.col("is_ref"), F.col("cnt"))).alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), F.col("cnt"))).alias("n_cur"),
+            F.count_distinct("cat").alias("k"),
+        ),
+        F.col("n_ref").isNotNull() & F.col("n_cur").isNotNull(),
+        "psi_categories: empty half",
     )
     spine = counts.select("cat").distinct().join(F.broadcast(totals))
     pivot = (
@@ -302,8 +330,13 @@ def ks_statistic(df: DataFrame, value: Column, ts: Column) -> DataFrame:
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("cr_i"),
         F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cc_i"),
     )
-    tot = per_v.agg(
-        F.sum("cr_i").alias("n_ref"), F.sum("cc_i").alias("n_cur")
+    tot = _guard_split(
+        per_v.agg(
+            F.sum("cr_i").alias("n_ref"), F.sum("cc_i").alias("n_cur")
+        ),
+        (F.coalesce(F.col("n_ref"), F.lit(0)) > 0)
+        & (F.coalesce(F.col("n_cur"), F.lit(0)) > 0),
+        "ks_statistic: empty half",
     )
     from pyspark.sql.window import Window
 
@@ -386,7 +419,6 @@ LIMIT 1
     "feature_drift_ks",
     oracle=_KS_ORACLE,
     group=GROUP,
-    gate_oracle=False,
 )
 def feature_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic of text_len between the reference
@@ -399,7 +431,6 @@ def feature_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "role_drift_psi",
     oracle=_ROLE_PSI_ORACLE,
     group=GROUP,
-    gate_oracle=False,
 )
 def role_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical PSI of the role distribution (reference vs current
@@ -429,10 +460,14 @@ def chi2_homogeneity(df: DataFrame, cat: Column, ts: Column) -> DataFrame:
         (F.col("us") < F.expr("(t_min + t_max) div 2")).alias("is_ref"),
     )
     obs = w.groupBy("cat", "is_ref").agg(F.count("*").alias("o"))
-    tot = obs.groupBy().agg(
-        F.sum(F.when(F.col("is_ref"), F.col("o"))).alias("n_ref"),
-        F.sum(F.when(~F.col("is_ref"), F.col("o"))).alias("n_cur"),
-        F.count_distinct("cat").alias("k"),
+    tot = _guard_split(
+        obs.groupBy().agg(
+            F.sum(F.when(F.col("is_ref"), F.col("o"))).alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), F.col("o"))).alias("n_cur"),
+            F.count_distinct("cat").alias("k"),
+        ),
+        F.col("n_ref").isNotNull() & F.col("n_cur").isNotNull(),
+        "chi2_homogeneity: empty half",
     )
     cols = obs.groupBy("cat").agg(F.sum("o").alias("c_tot"))
     # full 2k cell spine: a category absent from one window still owes
@@ -553,7 +588,6 @@ GROUP BY t.k, t.n_ref, t.n_cur
     "role_drift_chi2",
     oracle=_CHI2_ORACLE,
     group=GROUP,
-    gate_oracle=False,
 )
 def role_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample chi-squared homogeneity of the role distribution

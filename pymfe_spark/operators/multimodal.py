@@ -252,7 +252,9 @@ FROM d, unnest(range(0, n % 7 + 1)) AS i(i)
 """
 
 
-@register("multimodal_frame_sample", oracle=_FRAME_ORACLE, group=GROUP)
+@register("multimodal_frame_sample", oracle=_FRAME_ORACLE, group=GROUP,
+          # rotated out of the gate r3 (long-green); pytest enforces
+          gate_oracle=False)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> one row PER SAMPLED FRAME via mapInPandas: the
     1-in/N-out exploding batch shape every video pipeline needs. The

@@ -122,7 +122,9 @@ FROM bucketed
 """
 
 
-@register("sim_lsh_buckets", oracle=_BUCKET_ORACLE, group=GROUP)
+@register("sim_lsh_buckets", oracle=_BUCKET_ORACLE, group=GROUP,
+          # rotated out of the gate r3 (long-green); pytest enforces
+          gate_oracle=False)
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment (8 planes -> 256
     buckets). At scale, ANN = shuffle by bucket + within-bucket
@@ -240,7 +242,9 @@ GROUP BY label
 """
 
 
-@register("embedding_label_centroids", oracle=_CENTROID_ORACLE, group=GROUP)
+@register("embedding_label_centroids", oracle=_CENTROID_ORACLE, group=GROUP,
+          # rotated out of the gate r3 (long-green); pytest enforces
+          gate_oracle=False)
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norm (IVF coarse quantizer building block):
     posexplode -> (label, dim) partial aggregation -> norm. The

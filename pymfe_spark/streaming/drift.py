@@ -61,7 +61,8 @@ def reference_bin_profile(
         for r in binned.groupBy("bin").agg(F.count("*").alias("cnt")).collect()
     }
     n_ref = sum(counts.values())
-    lo, hi = rng.first()["l_min"], rng.first()["l_max"]
+    rng_row = rng.first()  # one job, not one per bound
+    lo, hi = rng_row["l_min"], rng_row["l_max"]
     fracs = [
         (counts.get(b, 0) + 0.5) / (n_ref + n_bins / 2.0)
         for b in range(n_bins)
@@ -131,13 +132,14 @@ def batch_drift_bin_counts(
 
 
 def _bin_expr(v, l_min: int, l_max: int, n_bins: int):
-    """Clamp-then-bin with the same nonneg integer-division semantics
-    as operators/drift.py (floor via cast on a nonnegative quotient of
-    exact integers — bit-stable across engines and stream/batch)."""
+    """Clamp-then-bin with the SAME integer `div` the batch operator
+    and the reference profile use (operators/drift.py) — true int64
+    division, never a rounded double quotient, so streamed bins are
+    bit-stable against the batch edges for any value magnitude."""
     lo, hi = F.lit(int(l_min)), F.lit(int(l_max))
     span = F.lit(int(l_max) - int(l_min) + 1)
     clamped = F.least(F.greatest(v, lo), hi)
-    return ((clamped - lo) * F.lit(n_bins) / span).cast("long")
+    return F.call_function("div", (clamped - lo) * F.lit(n_bins), span)
 
 
 def psi_from_counts(counts, ref_fracs, n_bins: int = N_BINS) -> float:

@@ -181,3 +181,30 @@ def test_chi2_matches_numpy_and_detects_shift(spark):
             assert got["chi2"].iloc[0] < 12  # ~dof under homogeneity
         else:
             assert got["chi2"].iloc[0] > 1000  # mix flip alarms
+
+
+def test_degenerate_window_raises_not_nan(spark):
+    """ADVICE r2: when every row shares one timestamp the midpoint
+    split leaves the reference half empty — the operators must FAIL
+    loudly (assert_true), never emit NULL/NaN a monitor would read as
+    'no drift'."""
+    import pytest
+    from pymfe_spark.operators.drift import (
+        chi2_homogeneity,
+        ks_statistic,
+        psi_categories,
+    )
+
+    same_ts = spark.range(100).select(
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
+        (F.col("id") % 7).alias("v"),
+        F.concat(F.lit("c"), (F.col("id") % 3)).alias("cat"),
+    )
+    for op, col in [
+        (psi_bins, "v"),
+        (ks_statistic, "v"),
+        (psi_categories, "cat"),
+        (chi2_homogeneity, "cat"),
+    ]:
+        with pytest.raises(Exception, match="degenerate drift window"):
+            op(same_ts, F.col(col), F.col("ts")).collect()
