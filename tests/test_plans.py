@@ -54,17 +54,17 @@ BNLJ_ALLOWED = {
     "zz_corpus_shuffle_order",
     # single-row broadcasts of (time-range, bin-range/category-total)
     # aggregates onto the scan — the PSI window/bin projections
-    "zz_feature_drift_psi",
-    "zz_role_drift_psi",
+    "feature_drift_psi",
+    "role_drift_psi",
     # single-row broadcast of the corpus token total onto per-doc sums
-    "zz_text_unigram_logprob",
+    "text_unigram_logprob",
     # single-row broadcast of the global means onto the moment pass
     "zz_mfe_tabular_lineitem",
     # single-row broadcasts of time-range span and count totals onto
     # the distinct-value CDF table (cardinality-bounded, not data-sized)
-    "zz_feature_drift_ks",
+    "feature_drift_ks",
     # span/total 1-row broadcasts + the 2-row window-flag spine
-    "zz_role_drift_chi2",
+    "role_drift_chi2",
 }
 
 
@@ -293,6 +293,6 @@ def test_sketch_profile_partial_aggregates(spark):
 
 def test_pii_scrub_is_pure_scan_project(spark):
     """PII scrubbing is scan -> project: no exchange, no join."""
-    plan = plan_of(spark, "zz_text_pii_scrub")
+    plan = plan_of(spark, "text_pii_scrub")
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
