@@ -309,6 +309,95 @@ def run_decompose(sf_dir: str, cpus: int, replicate: int) -> dict:
     }
 
 
+def _task_summary(spark, stage_id: int, attempt: int = 0) -> dict | None:
+    """min/median/max executorRunTime (ms) for one stage's tasks."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    url = (
+        f"{base}/api/v1/applications/{app_id}/stages/{stage_id}/{attempt}"
+        "/taskSummary?quantiles=0.0,0.5,1.0"
+    )
+    try:
+        with urllib.request.urlopen(url) as r:
+            s = json.load(r)
+        lo, med, hi = s["executorRunTime"]
+        return {"min_ms": lo, "median_ms": med, "max_ms": hi}
+    except Exception:
+        return None
+
+
+def run_skew(sf_dir: str, cpus: int, replicate: int, mega: int) -> dict:
+    """Mega-conversation straggler measurement (round-2 verdict
+    "Next round" #2 done-criterion): plant ONE conversation of ``mega``
+    turns into a ``replicate``x corpus, run the extraction backfill via
+    BOTH the pure kernel path and the hybrid path, and report each
+    path's worst max/median task-time ratio among substantial stages.
+    The hybrid must keep every stage's straggler under 2x median; the
+    pure path demonstrates the problem the hybrid removes."""
+    os.environ["SPARK_GRAFT_UI"] = "true"
+    from pymfe_spark import get_spark
+    from pymfe_spark.operators.base import turns
+    from pymfe_spark.plans.extractor import MFESpark
+
+    skew_dir = os.path.join("/tmp", f"pymfe_skew_r{replicate}_m{mega}")
+    marker = os.path.join(skew_dir, "_DONE")
+    spark = get_spark(app_name="pymfe_spark_skew", cpus=cpus)
+    if not os.path.exists(marker):
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from gen_scaled_sf import generate
+
+        generate(spark, sf_dir, skew_dir, replicate, mega_conv=mega)
+        open(marker, "w").write("ok")
+
+    t = turns(spark, skew_dir).persist()
+    n_turns = t.count()
+    ex = MFESpark(groups=("general", "statistical", "info-theory"))
+    out: dict = {"sf": sf_dir, "replicate": replicate, "mega_turns": mega,
+                 "n_turns": n_turns, "cpus": cpus, "paths": {}}
+    for label, df_fn in (
+        ("hybrid", lambda: ex.extract_hybrid(t)),
+        ("pure", lambda: ex.extract(t)),
+    ):
+        _materialize(df_fn())  # warm-up: codegen + Python workers
+        before = _completed_stages(spark)
+        t0 = time.perf_counter()
+        _materialize(df_fn())
+        wall = time.perf_counter() - t0
+        time.sleep(0.5)
+        after = _completed_stages(spark)
+        worst = {"ratio": 0.0}
+        for sid, s in after.items():
+            # >= 4 tasks: the kernel stage can run below core count
+            # when kernel_partitions derives a small count — skipping
+            # it hid the pure path's mega-conversation straggler
+            if sid in before or s.get("numCompleteTasks", 0) < 4:
+                continue
+            ts_ = _task_summary(spark, sid, s.get("attemptId", 0))
+            # straggler ratios only matter on stages with real work
+            if not ts_ or ts_["median_ms"] < 100:
+                continue
+            ratio = ts_["max_ms"] / max(ts_["median_ms"], 1e-9)
+            if ratio > worst["ratio"]:
+                worst = {
+                    "ratio": round(ratio, 2),
+                    "stage": sid,
+                    "tasks": s["numCompleteTasks"],
+                    **{k: round(v, 1) for k, v in ts_.items()},
+                }
+        out["paths"][label] = {
+            "wall_sec": round(wall, 3),
+            "turns_per_sec": round(n_turns / wall, 1),
+            "worst_straggler": worst,
+        }
+    t.unpersist()
+    spark.stop()
+    return out
+
+
 def run_backfill_only(sf_dir: str, cpus: int, replicate: int) -> dict:
     from pymfe_spark import get_spark
 
@@ -331,6 +420,20 @@ def main() -> None:
         print(
             json.dumps(
                 run_decompose(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+            )
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        # bench.py --skew [sf_dir] [cpus] [replicate] [mega_turns]
+        a = sys.argv[2:]
+        print(
+            json.dumps(
+                run_skew(
+                    a[0] if len(a) > 0 else SF_DIR,
+                    int(a[1]) if len(a) > 1 else CPUS,
+                    int(a[2]) if len(a) > 2 else 40,
+                    int(a[3]) if len(a) > 3 else 1_000_000,
+                )
             )
         )
         return

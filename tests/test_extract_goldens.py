@@ -1,0 +1,69 @@
+"""Frozen-golden value gate for the 8 rows-only ``zz_mfe_extract_*``
+queries (round-2 verdict "Next round" #3).
+
+Each golden parquet under tests/goldens/ was computed ONCE by the
+driver-side numpy twin (tools/freeze_goldens.py — DuckDB load, no
+Spark partitioning / Arrow chunking / applyInPandas). Here the real
+catalog query runs on Spark and must reproduce the frozen values
+key-for-key — the same hash-strength comparison the driver gate
+applies to the SQL-tier queries, so a regression in ANY measure column
+of the long outputs now fails a test instead of hiding behind a
+rows-only check. Regenerate with ``python tools/freeze_goldens.py``
+only alongside an intentional semantic change.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pymfe_spark.plans.catalog import load_catalog
+from tests.conftest import SF_SMOKE
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+GOLDEN_QUERIES = (
+    "zz_mfe_extract_core",
+    "zz_mfe_extract_distance",
+    "zz_mfe_extract_model_based",
+    "zz_mfe_extract_complexity",
+    "zz_mfe_extract_relative",
+    "zz_mfe_extract_full_summaries",
+    "zz_mfe_extract_confidence",
+    "zz_mfe_extract_expanding",
+)
+
+CATALOG = load_catalog()
+
+
+def _keyed(df: pd.DataFrame) -> pd.DataFrame:
+    keys = [c for c in ("conv_id", "turn_idx", "mtf_name") if c in df.columns]
+    return df.sort_values(keys).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", GOLDEN_QUERIES)
+def test_extract_output_matches_frozen_golden(spark, name):
+    golden = pd.read_parquet(os.path.join(GOLDEN_DIR, f"{name}.parquet"))
+    got = CATALOG[name].fn(spark, SF_SMOKE).toPandas()
+    assert sorted(got.columns) == sorted(golden.columns), name
+    assert len(got) == len(golden), (
+        f"{name}: {len(got)} rows vs frozen {len(golden)}"
+    )
+    g, w = _keyed(got), _keyed(golden)
+    for c in g.columns:
+        if g[c].dtype == object:
+            assert (g[c] == w[c]).all(), f"{name}: key column {c} differs"
+        else:
+            a = g[c].astype(float).to_numpy()
+            b = w[c].astype(float).to_numpy()
+            # the Spark path runs the SAME kernels on the SAME float64
+            # inputs — tolerance only covers libm differences across
+            # environments, not real drift
+            bad = ~np.isclose(a, b, rtol=1e-12, atol=1e-12, equal_nan=True)
+            assert not bad.any(), (
+                f"{name}: {bad.sum()} values differ in {c}; first at "
+                f"{w.loc[np.argmax(bad), [k for k in ('conv_id', 'mtf_name') if k in w]].tolist()}: "
+                f"{a[np.argmax(bad)]!r} vs frozen {b[np.argmax(bad)]!r}"
+            )
