@@ -380,12 +380,18 @@ def run_skew(sf_dir: str, cpus: int, replicate: int, mega: int) -> dict:
             # straggler ratios only matter on stages with real work
             if not ts_ or ts_["median_ms"] < 100:
                 continue
-            ratio = ts_["max_ms"] / max(ts_["median_ms"], 1e-9)
+            # gate factor: how much one task gates the stage — max task
+            # vs the stage's ideal parallel time (sum task time /
+            # cores). max/median misleads on union stages that mix big
+            # kernel tasks with tiny prefix/exact-tier tasks.
+            ideal_ms = s.get("executorRunTime", 0) / cpus
+            ratio = ts_["max_ms"] / max(ideal_ms, 1.0)
             if ratio > worst["ratio"]:
                 worst = {
                     "ratio": round(ratio, 2),
                     "stage": sid,
                     "tasks": s["numCompleteTasks"],
+                    "ideal_parallel_ms": round(ideal_ms, 1),
                     **{k: round(v, 1) for k, v in ts_.items()},
                 }
         out["paths"][label] = {
@@ -394,6 +400,104 @@ def run_skew(sf_dir: str, cpus: int, replicate: int, mega: int) -> dict:
             "worst_straggler": worst,
         }
     t.unpersist()
+    spark.stop()
+    return out
+
+
+def run_stream(sf_dir: str, cpus: int, replicate: int) -> dict:
+    """Sustained-volume streaming measurement (round-2 verdict #6):
+    drives the stateful per-conversation feature stream over a
+    ``replicate``x transcript corpus and the banded-MinHash near-dup
+    stream over a ``replicate``x document corpus, each through
+    multiple micro-batches (availableNow + maxFilesPerTrigger), and
+    reports rows/s plus the final state-store size from the progress
+    metrics — bounded-state evidence at volume."""
+    import shutil
+
+    from pymfe_spark import get_spark
+    from pymfe_spark.sources import transcripts
+    from pymfe_spark.streaming.neardup import streaming_neardup_candidates
+    from pymfe_spark.streaming.stateful import streaming_incremental_features
+
+    spark = get_spark(app_name="pymfe_spark_stream_bench", cpus=cpus)
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    from gen_scaled_sf import scaled_documents, scaled_events
+
+    base = f"/tmp/pymfe_stream_bench_r{replicate}"
+    out: dict = {"sf": sf_dir, "replicate": replicate, "cpus": cpus,
+                 "streams": {}}
+
+    def drive(stream_df, name: str, n_input: int, mode: str):
+        ckpt = f"{base}/{name}_ckpt"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        t0 = time.perf_counter()
+        q = (
+            stream_df.writeStream.format("noop")
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        progress = q.recentProgress
+        state = [
+            p["stateOperators"][0]
+            for p in progress
+            if p.get("stateOperators")
+        ]
+        out["streams"][name] = {
+            "input_rows": n_input,
+            "micro_batches": len(progress),
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_input / wall, 1),
+            "state_rows_final": state[-1]["numRowsTotal"] if state else None,
+            "state_bytes_final": (
+                state[-1].get("memoryUsedBytes") if state else None
+            ),
+        }
+
+    # ---- stateful per-conversation feature vectors over turns -------
+    tdir = f"{base}/turns_in"
+    if not os.path.exists(f"{tdir}/_DONE"):
+        shutil.rmtree(tdir, ignore_errors=True)
+        ev_dir = f"{base}/events"
+        scaled_events(spark, sf_dir, replicate).write.mode(
+            "overwrite"
+        ).parquet(f"{ev_dir}/events.parquet")
+        transcripts(spark, ev_dir).repartition(16).write.mode(
+            "overwrite"
+        ).parquet(tdir)
+        open(f"{tdir}/_DONE", "w").write("ok")
+    n_turns = spark.read.parquet(tdir).count()
+    drive(
+        streaming_incremental_features(spark, tdir, max_files_per_trigger=4),
+        "conv_features",
+        n_turns,
+        "update",
+    )
+
+    # ---- near-dup candidates over documents --------------------------
+    ddir = f"{base}/docs_in"
+    if not os.path.exists(f"{ddir}/_DONE"):
+        shutil.rmtree(ddir, ignore_errors=True)
+        from pyspark.sql import functions as F
+
+        scaled_documents(spark, sf_dir, replicate).select(
+            "doc_id",
+            "text",
+            F.to_timestamp(F.lit("2025-03-01 00:00:00")).alias("ts"),
+        ).repartition(16).write.mode("overwrite").parquet(ddir)
+        open(f"{ddir}/_DONE", "w").write("ok")
+    n_docs = spark.read.parquet(ddir).count()
+    drive(
+        streaming_neardup_candidates(spark, ddir, max_files_per_trigger=4),
+        "neardup",
+        n_docs,
+        "append",
+    )
     spark.stop()
     return out
 
@@ -420,6 +524,19 @@ def main() -> None:
         print(
             json.dumps(
                 run_decompose(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+            )
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--stream":
+        # bench.py --stream [sf_dir] [cpus] [replicate]
+        a = sys.argv[2:]
+        print(
+            json.dumps(
+                run_stream(
+                    a[0] if len(a) > 0 else SF_DIR,
+                    int(a[1]) if len(a) > 1 else CPUS,
+                    int(a[2]) if len(a) > 2 else 40,
+                )
             )
         )
         return

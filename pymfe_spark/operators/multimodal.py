@@ -32,17 +32,36 @@ META_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> "tuple[int, int, int]":
-    """Real decoder entry point — unavailable in this container.
+def _have(mod: str) -> bool:
+    import importlib.util
 
-    Raises NotImplementedError; callers fall back to
-    :func:`fake_decode` (deterministic stand-in) so the pipeline
-    remains testable without codecs.
-    """
-    raise NotImplementedError(
-        "image codecs not installed in this environment; "
-        "use fake_decode for plumbing tests"
-    )
+    return importlib.util.find_spec(mod) is not None
+
+
+HAVE_PIL = _have("PIL")
+HAVE_AV = _have("av")
+
+
+def decode_image(payload: bytes) -> "tuple[int, int, int]":
+    """Real decoder entry point: Pillow when importable (optional
+    dependency — absent in this container), else NotImplementedError.
+    The registered stand-in queries use :func:`fake_decode` explicitly
+    (their payloads are text bytes, not images, and their oracles pin
+    the fake's byte contract); this function is exercised by
+    tests/test_multimodal_codec.py on real PNG bytes whenever the
+    codec is importable, and that test SKIPS (never fakes) otherwise."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image codecs not installed in this environment; "
+            "use fake_decode for plumbing tests"
+        )
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        im.load()
+        return (im.width, im.height, len(im.getbands()))
 
 
 def fake_decode(payload: bytes) -> "tuple[int, int, int]":
@@ -51,23 +70,38 @@ def fake_decode(payload: bytes) -> "tuple[int, int, int]":
     return (n % 640 + 1, (n * 7) % 480 + 1, 3)
 
 
-def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        payloads = [bytes(b) for b in pdf["payload"]]
-        try:
-            dims = [decode_image(p) for p in payloads]
-        except NotImplementedError:
-            dims = [fake_decode(p) for p in payloads]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": [len(p) for p in payloads],
-                "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
-                "fake_width": [d[0] for d in dims],
-                "fake_height": [d[1] for d in dims],
-                "fake_channels": [d[2] for d in dims],
-            }
-        )
+def _meta_batches(decoder=fake_decode):
+    """mapInPandas kernel, parameterized by decoder: the registered
+    stand-in query binds :func:`fake_decode` (its payloads are text
+    bytes; the oracle pins the fake's byte contract), the codec test
+    binds :func:`decode_image` over real PNG bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(b) for b in pdf["payload"]]
+            dims = [decoder(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "sha256": [
+                        hashlib.sha256(p).hexdigest() for p in payloads
+                    ],
+                    "fake_width": [d[0] for d in dims],
+                    "fake_height": [d[1] for d in dims],
+                    "fake_channels": [d[2] for d in dims],
+                }
+            )
+
+    return gen
+
+
+def image_meta(df: DataFrame, decoder=decode_image) -> DataFrame:
+    """Real-decode entry point: (doc_id, payload binary) -> metadata
+    via the SAME mapInPandas kernel as the registered query, but with
+    the real codec. Raises NotImplementedError per batch when no codec
+    is installed."""
+    return df.mapInPandas(_meta_batches(decoder), schema=META_SCHEMA)
 
 
 _META_ORACLE = """
@@ -90,7 +124,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return d.mapInPandas(_meta_batches, schema=META_SCHEMA)
+    return d.mapInPandas(_meta_batches(fake_decode), schema=META_SCHEMA)
 
 
 # ---------------------------------------------------------------------
@@ -104,11 +138,22 @@ RESIZE_SCHEMA = (
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize entry point — unavailable in this container
-    (no codecs). Callers fall back to :func:`fake_resize`."""
-    raise NotImplementedError(
-        "image codecs not installed; use fake_resize for plumbing tests"
-    )
+    """Real resize entry point: Pillow decode -> resize -> PNG encode
+    when the codec is importable, else NotImplementedError (see
+    :func:`decode_image` for the optional-dependency contract)."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image codecs not installed; use fake_resize for plumbing tests"
+        )
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        out = im.resize((width, height))
+        buf = io.BytesIO()
+        out.save(buf, format="PNG")
+        return buf.getvalue()
 
 
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -122,14 +167,11 @@ def fake_resize(payload: bytes, width: int, height: int) -> bytes:
     return (src * reps)[:target]
 
 
-def _resize_batches(width: int, height: int):
+def _resize_batches(width: int, height: int, resizer=fake_resize):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [bytes(b) for b in pdf["payload"]]
-            try:
-                out = [resize_image(p, width, height) for p in payloads]
-            except NotImplementedError:
-                out = [fake_resize(p, width, height) for p in payloads]
+            out = [resizer(p, width, height) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -201,11 +243,31 @@ FRAME_STRIDE_MS = 1000
 
 
 def sample_frames(payload: bytes) -> "list[tuple[int, int, bytes]]":
-    """Real video frame sampler — unavailable here; callers fall back
-    to :func:`fake_sample_frames`."""
-    raise NotImplementedError(
-        "video codecs not installed; use fake_sample_frames"
-    )
+    """Real video frame sampler: PyAV when importable (one frame per
+    FRAME_STRIDE_MS of presentation time, re-encoded to PNG), else
+    NotImplementedError (optional-dependency contract as above)."""
+    if not HAVE_AV:
+        raise NotImplementedError(
+            "video codecs not installed; use fake_sample_frames"
+        )
+    import io
+
+    import av
+
+    frames: list[tuple[int, int, bytes]] = []
+    next_ms = 0
+    with av.open(io.BytesIO(payload)) as container:
+        stream = container.streams.video[0]
+        for frame in container.decode(stream):
+            ms = int((frame.pts or 0) * float(stream.time_base) * 1000)
+            if ms < next_ms:
+                continue
+            img = frame.to_image()
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            frames.append((len(frames), ms, buf.getvalue()))
+            next_ms += FRAME_STRIDE_MS
+    return frames
 
 
 def fake_sample_frames(payload: bytes) -> "list[tuple[int, int, bytes]]":
@@ -219,15 +281,19 @@ def fake_sample_frames(payload: bytes) -> "list[tuple[int, int, bytes]]":
     ]
 
 
-def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _frame_batches(sampler=fake_sample_frames):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from _frame_batches_inner(batches, sampler)
+
+    return gen
+
+
+def _frame_batches_inner(batches, sampler):
     for pdf in batches:
         ids, idxs, mss, shas = [], [], [], []
         for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
             payload = bytes(b)
-            try:
-                frames = sample_frames(payload)
-            except NotImplementedError:
-                frames = fake_sample_frames(payload)
+            frames = sampler(payload)
             for i, ms, fb in frames:
                 ids.append(doc_id)
                 idxs.append(i)
@@ -263,5 +329,5 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    out = d.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
+    out = d.mapInPandas(_frame_batches(fake_sample_frames), schema=FRAME_SCHEMA)
     return out.select("doc_id", "frame_idx", "frame_ms")

@@ -158,11 +158,17 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
    FROM e, planes),
  q AS (SELECT vec_id AS query_id, v AS qv, bucket
        FROM bucketed WHERE vec_id < {N_QUERIES}),
+ probes AS (
+   SELECT query_id, qv, unnest(list_prepend(bucket,
+            list_transform(range(0, {_N_PLANES}),
+                           j -> xor(bucket, cast(pow(2, j) AS bigint)))))
+          AS probe
+   FROM q),
  sims AS (
-   SELECT q.query_id, b.vec_id AS neighbor_id,
-          list_cosine_similarity(q.qv, b.v) AS cos
-   FROM q JOIN bucketed b
-     ON q.bucket = b.bucket AND b.vec_id <> q.query_id)
+   SELECT p.query_id, b.vec_id AS neighbor_id,
+          list_cosine_similarity(p.qv, b.v) AS cos
+   FROM probes p JOIN bucketed b
+     ON p.probe = b.bucket AND b.vec_id <> p.query_id)
 SELECT query_id, neighbor_id, cast(rk AS int) AS rk, round(cos, 4) AS cos
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id ASC) AS rk
@@ -177,11 +183,15 @@ WHERE rk <= 3
     group=GROUP,
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-3 neighbors within each query's LSH bucket —
-    the composed ANN path (bucket equi-join instead of cross join).
+    """Approximate top-3 neighbors via MULTI-PROBE LSH (Lv et al.,
+    VLDB'07): each query probes its own bucket plus the 8 hamming-1
+    buckets (one sign flip per hyperplane) — the published fix for
+    single-table hyperplane LSH's low recall, at 9 tiny bucket lookups
+    instead of 9 hash tables. Still a bucket equi-join (the probe list
+    is an exploded 9-row broadcast per query), never a cross join.
     Deterministic hyperplanes let the DuckDB oracle replicate the
-    entire bucket -> scan -> topk pipeline; recall vs brute force is
-    asserted in unit tests."""
+    entire bucket -> probe -> scan -> topk pipeline; recall floors vs
+    brute force are pinned at sf0.1 in tests/test_ann_recall.py."""
     e = _emb(spark, sf_dir)
     plane_cols = [F.array(*[F.lit(float(x)) for x in p]) for p in _PLANES]
     bucket = sum(
@@ -191,7 +201,15 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.col("bucket"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(2**j))
+                    for j in range(_N_PLANES)
+                ],
+            )
+        ).alias("bucket"),
     )
     j = b.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("query_id")

@@ -81,9 +81,12 @@ HEAVY_GROUPS = {"clustering", "concept", "complexity"}  # O(n^2) kernels
 OUT_SCHEMA = "conv_id string, mtf_name string, mtf_val double"
 OUT_SCHEMA_TIMED = OUT_SCHEMA + ", mtf_time double"
 
-# per-partition input target for the kernel exchange: ~32 MB of turn
-# columns ≈ cluster-shard-sized Python work per task
-KERNEL_PARTITION_BYTES = 32 << 20
+# per-partition input target for the kernel exchange: ~8 MB of turn
+# columns ≈ a few seconds of Python kernel per task — small enough that
+# tasks pack cores evenly (no single task gates a stage; measured 15 s
+# max-task at 32 MB vs ~4 s at 8 MB on a 5M-turn corpus), large enough
+# that per-task fixed cost (worker reuse, Arrow setup) stays noise
+KERNEL_PARTITION_BYTES = 8 << 20
 KERNEL_MAX_PARTITIONS = 65_536
 
 

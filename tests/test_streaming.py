@@ -428,3 +428,135 @@ def test_streaming_drift_counts_match_batch(spark):
     assert psi >= 0.0 and psi == psi  # finite, nonnegative
     shutil.rmtree(in_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_neardup_bucket_saturation_bounds_state(spark):
+    """Round-2 verdict #6: BOUNDED STATE under a mega bucket. 200
+    identical docs collapse to ONE bucket per band (16 buckets); the
+    saturation cap (64) must (a) cap emitted pairs at 16 x C(64,2),
+    (b) emit NOTHING in micro-batches after saturation, and (c) hold
+    total state rows at the bucket count regardless of corpus size."""
+    import pandas as pd
+
+    from pymfe_spark.operators.dedup import BND_B, MAX_BAND_BUCKET
+    from pymfe_spark.streaming.neardup import streaming_neardup_candidates
+
+    src, ckpt = "/tmp/satur_in", "/tmp/satur_ckpt"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    text = (
+        "identical boilerplate text repeated across every document in "
+        "the mega cluster for saturation testing purposes"
+    )
+    base = pd.Timestamp("2025-03-01 00:00:00")
+    for i in range(3):  # 3 micro-batches: 0-66, 67-133, 134-199
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(i * 67, min((i + 1) * 67, 200)),
+                "text": text,
+                "ts": base,
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            src
+        )
+        import time as _t
+
+        _t.sleep(1.2)
+
+    out = streaming_neardup_candidates(spark, src, max_files_per_trigger=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("satur_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progress = q.recentProgress
+    got = spark.table("satur_stream").toPandas()
+
+    cap_pairs = MAX_BAND_BUCKET * (MAX_BAND_BUCKET - 1) // 2
+    assert len(got) == BND_B * cap_pairs, (
+        f"expected {BND_B} bands x C({MAX_BAND_BUCKET},2)={cap_pairs} "
+        f"pairs, got {len(got)}"
+    )
+    # saturation: later micro-batches emit nothing
+    out_rows = [p["sink"]["numOutputRows"] for p in progress if p["sink"]]
+    assert out_rows[0] > 0 and all(r == 0 for r in out_rows[1:]), out_rows
+    # bounded state: one state row per bucket, NOT per doc
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    assert max(state_rows) <= BND_B, (
+        f"state grew past the bucket count: {state_rows}"
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_session_state_evicted_after_watermark(spark):
+    """Round-2 verdict #6: WATERMARK EVICTION observed. Sessions whose
+    end falls behind the advancing watermark must leave the state
+    store (numRowsRemoved > 0, final numRowsTotal < peak)."""
+    import time as _t
+
+    import pandas as pd
+
+    src, ckpt = "/tmp/evict_in", "/tmp/evict_ckpt"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def write_file(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            src
+        )
+        _t.sleep(1.2)
+
+    # batch 0: 20 one-turn sessions at 10:00
+    write_file(
+        [
+            (f"c{i}", 0, "user", "hello", None, "2026-01-01 10:00:00")
+            for i in range(20)
+        ]
+    )
+    # batch 1: watermark jumps to ~18:00 -> the 20 sessions finalize
+    write_file([("clock", 0, "user", "t", None, "2026-01-01 20:00:00")])
+    # batch 2: one more tick so eviction metrics land in a progress row
+    write_file([("clock", 1, "user", "t", None, "2026-01-01 20:30:00")])
+
+    out = streaming_session_stats(
+        spark, src, gap="30 minutes", watermark="2 hours",
+        max_files_per_trigger=1,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evict_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progress = q.recentProgress
+    states = [
+        p["stateOperators"][0]
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    totals = [s["numRowsTotal"] for s in states]
+    removed = sum(s.get("numRowsRemoved", 0) for s in states)
+    assert removed >= 20, f"no eviction observed: removed={removed}"
+    assert totals[-1] < max(totals), f"state never shrank: {totals}"
+    res = spark.table("evict_stream").toPandas()
+    assert len(res[res.conv_id != "clock"]) == 20  # all sessions emitted
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
