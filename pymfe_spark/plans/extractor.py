@@ -81,12 +81,16 @@ HEAVY_GROUPS = {"clustering", "concept", "complexity"}  # O(n^2) kernels
 OUT_SCHEMA = "conv_id string, mtf_name string, mtf_val double"
 OUT_SCHEMA_TIMED = OUT_SCHEMA + ", mtf_time double"
 
-# per-partition input target for the kernel exchange: ~8 MB of turn
-# columns ≈ a few seconds of Python kernel per task — small enough that
-# tasks pack cores evenly (no single task gates a stage; measured 15 s
-# max-task at 32 MB vs ~4 s at 8 MB on a 5M-turn corpus), large enough
-# that per-task fixed cost (worker reuse, Arrow setup) stays noise
-KERNEL_PARTITION_BYTES = 8 << 20
+# per-partition input target for the kernel exchange — measured
+# trade-off on a 16M-turn corpus at local[32]:
+#   8 MB  (~120 tasks): best task balance (max task ~4 s) but the
+#          per-task Python handoff costs ~14% throughput (230k vs
+#          268k turns/s);
+#   32 MB (~30 tasks): throughput-optimal; max task ~15 s, which is
+#          fine because SKEW is handled by routing (extract_hybrid
+#          sends mega-conversations to the salted tier), not by
+#          over-splitting uniform work.
+KERNEL_PARTITION_BYTES = 32 << 20
 KERNEL_MAX_PARTITIONS = 65_536
 
 
@@ -117,6 +121,11 @@ def kernel_partitions(
             .toString()
         )
     except Exception:  # Spark Connect / stats unavailable
+        return base
+    # Catalyst reports defaultSizeInBytes (Long.MaxValue) when a
+    # plan's stats are unknown — treat any absurd estimate (> 64 TB
+    # for a single job's kernel input) as "unknown" too
+    if size <= 0 or size > (64 << 40):
         return base
     return int(
         max(base, min(size // KERNEL_PARTITION_BYTES, KERNEL_MAX_PARTITIONS))
