@@ -30,6 +30,18 @@ def mfe_extract_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.extract(turns(spark, sf_dir))
 
 
+@register("mfe_extract_hybrid", oracle=None, group=GROUP)
+def mfe_extract_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mega-conversation-routed extraction (plans/hybrid.py) over
+    the same groups as mfe_extract_core. On gate data (no conversation
+    crosses the threshold) the output is BIT-IDENTICAL to the pure
+    kernel path — tests/test_extract_goldens.py pins it against the
+    SAME frozen numpy-twin golden as zz_mfe_extract_core, and
+    tests/test_hybrid.py covers the mega routing itself."""
+    ex = MFESpark(groups=("general", "statistical", "info-theory"))
+    return ex.extract_hybrid(turns(spark, sf_dir))
+
+
 @register("mfe_extract_distance", oracle=None, group=GROUP)
 def mfe_extract_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clustering + concept + itemset groups (distance-matrix tier)."""

@@ -24,8 +24,12 @@ from pymfe_spark.plans.catalog import load_catalog
 from tests.conftest import SF_SMOKE
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+# zz_mfe_extract_hybrid shares zz_mfe_extract_core's golden: on data
+# with no mega conversations the hybrid is bit-identical to extract()
+GOLDEN_FILE = {"zz_mfe_extract_hybrid": "zz_mfe_extract_core"}
 GOLDEN_QUERIES = (
     "zz_mfe_extract_core",
+    "zz_mfe_extract_hybrid",
     "zz_mfe_extract_distance",
     "zz_mfe_extract_model_based",
     "zz_mfe_extract_complexity",
@@ -45,7 +49,9 @@ def _keyed(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", GOLDEN_QUERIES)
 def test_extract_output_matches_frozen_golden(spark, name):
-    golden = pd.read_parquet(os.path.join(GOLDEN_DIR, f"{name}.parquet"))
+    golden = pd.read_parquet(
+        os.path.join(GOLDEN_DIR, f"{GOLDEN_FILE.get(name, name)}.parquet")
+    )
     got = CATALOG[name].fn(spark, SF_SMOKE).toPandas()
     assert sorted(got.columns) == sorted(golden.columns), name
     assert len(got) == len(golden), (
