@@ -663,7 +663,15 @@ def dedup_minhash_verified(
     sh = gram_hash_table(spark, sf_dir)
     pairs = banded_candidate_pairs(sh, max_band_bucket)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
+    # the gram and size tables are DATA-SIZED (grams ~ tokens x corpus),
+    # but Catalyst's static estimate after the agg/join chain can fall
+    # under the broadcast threshold and statically plan BuildRight
+    # broadcasts — fine at test scale, a driver OOM at 10^6 docs
+    # (measured: "Not enough memory to build and broadcast" at 1.1M
+    # docs). hint("merge") pins the safe sort-merge strategy at plan
+    # time; AQE may still downgrade to broadcast at RUNTIME from real
+    # sizes, which is exactly the right policy.
+    x, y = sh.hint("merge").alias("x"), sh.hint("merge").alias("y")
     inter = (
         pairs.join(x, F.col("doc_a") == F.col("x.doc_id"))
         .join(
@@ -674,7 +682,7 @@ def dedup_minhash_verified(
         .groupBy("doc_a", "doc_b", "n_bands_matched")
         .agg(F.count("*").alias("ninter"))
     )
-    za, zb = sz.alias("za"), sz.alias("zb")
+    za, zb = sz.hint("merge").alias("za"), sz.hint("merge").alias("zb")
     union = F.col("za.n") + F.col("zb.n") - F.col("ninter")
     return (
         inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
@@ -788,7 +796,10 @@ def dedup_incremental(
         .groupBy("norm")
         .agg(F.min("doc_id").alias("dup_of_exact"))
     )
-    exact = new_docs.join(hist_norms, "norm", "left").select(
+    # history-keyed tables are DATA-SIZED: pin the safe merge strategy
+    # (AQE may downgrade to broadcast from real runtime sizes) — same
+    # static-broadcast OOM exposure as dedup_minhash_verified's verify
+    exact = new_docs.join(hist_norms.hint("merge"), "norm", "left").select(
         "doc_id", "dup_of_exact"
     )
 
@@ -818,7 +829,7 @@ def dedup_incremental(
     )
     sh = gram_hash_table(spark, sf_dir)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
+    x, y = sh.hint("merge").alias("x"), sh.hint("merge").alias("y")
     inter = (
         cand.join(x, F.col("new_id") == F.col("x.doc_id"))
         .join(
@@ -829,7 +840,7 @@ def dedup_incremental(
         .groupBy("new_id", "hist_id")
         .agg(F.count("*").alias("ninter"))
     )
-    za, zb = sz.alias("za"), sz.alias("zb")
+    za, zb = sz.hint("merge").alias("za"), sz.hint("merge").alias("zb")
     union = F.col("za.n") + F.col("zb.n") - F.col("ninter")
     near = (
         inter.join(za, F.col("new_id") == F.col("za.doc_id"))
