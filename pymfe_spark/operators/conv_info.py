@@ -357,7 +357,11 @@ FROM (SELECT conv_id, role AS item,
 )
 
 
-@register("mf_itemset_one", oracle=_ONEITEM_ORACLE, group=GROUP)
+@register(
+    "mf_itemset_one",
+    oracle=_ONEITEM_ORACLE, group=GROUP,
+    gate_oracle=False,  # rotated out of the gate in r4 (long-green r1-r3); pytest enforces
+)
 def mf_itemset_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """one_itemset: per-value relative frequency of the binarized class
     column (itemset.py:151-190; binarization 84-96) — long format."""
@@ -395,7 +399,11 @@ LEFT JOIN cab ON p.conv_id = cab.conv_id AND p.item_a = cab.role
 )
 
 
-@register("mf_itemset_two", oracle=_TWOITEM_ORACLE, group=GROUP)
+@register(
+    "mf_itemset_two",
+    oracle=_TWOITEM_ORACLE, group=GROUP,
+    gate_oracle=False,  # rotated out of the gate in r4 (long-green r1-r3); pytest enforces
+)
 def mf_itemset_two(spark: SparkSession, sf_dir: str) -> DataFrame:
     """two_itemset: XOR support |A xor B| / n for every (role value,
     tool value) pair (itemset.py:99-148) — computed from marginal and
@@ -439,7 +447,11 @@ FROM turns GROUP BY conv_id
 )
 
 
-@register("summary_quantiles", oracle=_QUANT_ORACLE, group=GROUP)
+@register(
+    "summary_quantiles",
+    oracle=_QUANT_ORACLE, group=GROUP,
+    gate_oracle=False,  # rotated out of the gate in r4 (long-green r1-r3); pytest enforces
+)
 def summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quantiles summary (0, .25, .5, .75, 1), linear interpolation —
     _summary.py:62-143; Spark `percentile` and numpy `quantile` share
@@ -476,7 +488,11 @@ GROUP BY conv_id
 )
 
 
-@register("summary_histogram", oracle=_HIST_ORACLE, group=GROUP)
+@register(
+    "summary_histogram",
+    oracle=_HIST_ORACLE, group=GROUP,
+    gate_oracle=False,  # rotated out of the gate in r4 (long-green r1-r3); pytest enforces
+)
 def summary_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """histogram summary: 10 equal-width bins, normalized counts
     (_summary.py:26-59 — np.histogram semantics: right-open bins, last

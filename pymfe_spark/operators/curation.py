@@ -86,7 +86,6 @@ FROM keyed
     "corpus_shuffle_order",
     oracle=_SHUFFLE_ORACLE,
     group=GROUP,
-    gate_oracle=False,
 )
 def corpus_shuffle_order(
     spark: SparkSession, sf_dir: str, n_buckets: int = SHUFFLE_BUCKETS
@@ -161,7 +160,6 @@ WHERE rnk <= {SOURCE_CAP}
     "docs_per_source_cap",
     oracle=_CAP_ORACLE,
     group=GROUP,
-    gate_oracle=False,
 )
 def docs_per_source_cap(
     spark: SparkSession,

@@ -84,7 +84,11 @@ FROM documents
 """
 
 
-@register("dedup_exact", oracle=_EXACT_ORACLE, group=GROUP)
+@register(
+    "dedup_exact",
+    oracle=_EXACT_ORACLE, group=GROUP,
+    gate_oracle=False,  # rotated out of the gate in r4 (long-green r1-r3); pytest enforces
+)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized text: every doc mapped to its cluster's
     canonical (min) doc_id + cluster size.
@@ -910,7 +914,11 @@ SELECT doc_id, simhash, {band_cols} FROM sig
 """
 
 
-@register("dedup_simhash", oracle=_simhash_oracle(), group=GROUP)
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(), group=GROUP,
+    gate_oracle=False,  # rotated out of the gate in r4 (long-green r1-r3); pytest enforces
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """31-bit SimHash over distinct tokens (sign-aggregated bits of the
     cross-engine polynomial token hash) + 4 bands (8/8/8/7 bits) for
@@ -987,7 +995,11 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     )
 
 
-@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle(), group=GROUP)
+@register(
+    "dedup_simhash_pairs",
+    oracle=_simhash_pairs_oracle(), group=GROUP,
+    gate_oracle=False,  # rotated out of the gate in r4 (long-green r1-r3); pytest enforces
+)
 def dedup_simhash_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
 ) -> DataFrame:

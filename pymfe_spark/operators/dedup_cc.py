@@ -159,7 +159,6 @@ FROM lab l JOIN sz s USING (cluster)
     "dedup_clusters",
     oracle=_CLUSTERS_ORACLE,
     group=GROUP,
-    gate_oracle=False,  # gate's 50 oracle slots are full; pytest enforces
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup resolution: ngram-Jaccard pairs at >= DUP_JACCARD ->

@@ -37,7 +37,7 @@ FROM parsed GROUP BY event_type
 """
 
 
-@register("events_json_props", oracle=_JSON_ORACLE, group=GROUP, gate_oracle=False)
+@register("events_json_props", oracle=_JSON_ORACLE, group=GROUP)
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract the ``k`` property from the JSON ``props`` column and
     aggregate per event_type — the canonical eventlog rollup: JSON path

@@ -115,7 +115,11 @@ FROM documents
 """
 
 
-@register("multimodal_meta", oracle=_META_ORACLE, group=GROUP)
+@register(
+    "multimodal_meta",
+    oracle=_META_ORACLE, group=GROUP,
+    gate_oracle=False,  # rotated out of the gate in r4 (long-green r1-r3); pytest enforces
+)
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> metadata via mapInPandas (document text bytes
     stand in for image payloads). Byte counts, sha256 checksums, and
@@ -266,7 +270,11 @@ def sample_frames(payload: bytes) -> "list[tuple[int, int, bytes]]":
             buf = io.BytesIO()
             img.save(buf, format="PNG")
             frames.append((len(frames), ms, buf.getvalue()))
-            next_ms += FRAME_STRIDE_MS
+            # advance from the ACCEPTED frame's pts, not the previous
+            # target: a presentation-time gap (frame at 2500 ms while
+            # next_ms was 1000) must not make the next few frames all
+            # pass the guard — one frame per stride, per contract
+            next_ms = ms + FRAME_STRIDE_MS
     return frames
 
 

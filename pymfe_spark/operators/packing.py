@@ -90,7 +90,7 @@ FROM pos
 """
 
 
-@register("pack_sequences", oracle=_PACK_ORACLE, group=GROUP, gate_oracle=False)
+@register("pack_sequences", oracle=_PACK_ORACLE, group=GROUP)
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing assignment for the documents corpus:
     2048-token sequences over 32 deterministic shards."""

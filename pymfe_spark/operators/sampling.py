@@ -108,7 +108,6 @@ WHERE ((({_A} * d.doc_id + {_B}) % {_P} + {_P}) % {_P}) % {_SCALE}
     "sample_stratified",
     oracle=_STRAT_ORACLE,
     group=GROUP,
-    gate_oracle=False,  # gate's 50 oracle slots are full; pytest enforces
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced corpus sample: every source capped at ~50% of the mean
@@ -135,7 +134,6 @@ FROM (SELECT doc_id,
       FROM documents)
 """,
     group=GROUP,
-    gate_oracle=False,  # gate's 50 oracle slots are full; pytest enforces
 )
 def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (95 / 2.5 / 2.5) by the

@@ -240,7 +240,6 @@ ORDER BY mtf_name
     "mfe_tabular_lineitem",
     oracle=_tabular_oracle(),
     group=GROUP,
-    gate_oracle=False,
 )
 def mfe_tabular_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pymfe drop-in demo: meta-features of an arbitrary parquet
@@ -253,7 +252,6 @@ def mfe_tabular_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mfe_tabular_by_returnflag",
     oracle=_tabular_oracle(by="l_returnflag"),
     group=GROUP,
-    gate_oracle=False,
 )
 def mfe_tabular_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped tabular extraction — every l_returnflag group is its own

