@@ -73,6 +73,7 @@ def backfill(
     output_dir: str,
     n_buckets: int = 8,
     extractor: MFESpark | None = None,
+    mega_turn_threshold: int | None = None,
 ) -> dict:
     """Run (or resume) a bucketed backfill of per-conversation feature
     vectors into ``output_dir``. Returns a summary dict.
@@ -99,7 +100,9 @@ def backfill(
         t0 = time.time()
         # partition-pruned: only staging/bucket=k is read
         part = staged.filter(F.col("bucket") == k).drop("bucket")
-        vec = extract_at_final_turn(part, extractor)
+        vec = extract_at_final_turn(
+            part, extractor, mega_turn_threshold=mega_turn_threshold
+        )
         # map<> column -> sorted key/val arrays for a stable parquet
         # schema; n_turns rides along for lineage accounting
         out = vec.select(
@@ -151,6 +154,7 @@ def backfill_incremental(
     delta_id: str,
     n_buckets: int = 8,
     extractor: MFESpark | None = None,
+    mega_turn_threshold: int | None = None,
 ) -> dict:
     """Apply an append-only batch of new turns to a completed backfill,
     recomputing feature vectors ONLY for the conversations the delta
@@ -234,7 +238,9 @@ def backfill_incremental(
             .drop("bucket")
             .join(F.broadcast(touched), "conv_id", "semi")
         )
-        vec = extract_at_final_turn(part, extractor)
+        vec = extract_at_final_turn(
+            part, extractor, mega_turn_threshold=mega_turn_threshold
+        )
         new_rows = vec.select(
             "conv_id",
             "ts",

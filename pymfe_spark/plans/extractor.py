@@ -558,7 +558,10 @@ class MFESpark:
         )
 
     def extract_hybrid(
-        self, turns_df: DataFrame, mega_turn_threshold: int | None = None
+        self,
+        turns_df: DataFrame,
+        mega_turn_threshold: int | None = None,
+        counts: DataFrame | None = None,
     ) -> DataFrame:
         """Skew-routed extraction: conversations above
         ``mega_turn_threshold`` turns leave the one-task kernel path —
@@ -575,7 +578,13 @@ class MFESpark:
             mega_turn_threshold
             if mega_turn_threshold is not None
             else MEGA_TURN_THRESHOLD,
+            counts=counts,
         )
+
+    def supports_hybrid(self) -> bool:
+        """True when this configuration can take the skew-routed path
+        (measure_time and the relative group need the pure kernel)."""
+        return self.cfg.measure_time is None and not self.relative
 
     def extract_grouped(self, turns_df: DataFrame) -> DataFrame:
         """Reference physical strategy: one applyInPandas group per
@@ -740,17 +749,43 @@ _confidence_methods(MFESpark)
 
 
 def extract_at_final_turn(
-    turns_df: DataFrame, extractor: MFESpark | None = None
+    turns_df: DataFrame,
+    extractor: MFESpark | None = None,
+    route_mega: bool = True,
+    mega_turn_threshold: int | None = None,
 ) -> DataFrame:
     """Backfill row per (conv_id, ts=last turn): attach the conversation's
     final ts + turn count to the wide vector (the north_star output
     unit; n_turns feeds the backfill lineage record without an extra
-    input scan)."""
+    input scan).
+
+    Mega conversations route through the hybrid tier BY DEFAULT
+    (round-3 verdict item #1): the per-conversation (ts, n_turns)
+    aggregation this function already runs doubles as the mega-id
+    detector — handed to extract_hybrid as its ``counts``, so the
+    routing costs no extra scan (the aggregate's exchange is shared).
+    Normal conversations stay bit-identical to extract(); configs the
+    hybrid can't serve (measure_time, relative) fall back to the pure
+    kernel path."""
     extractor = extractor or MFESpark()
-    wide = extractor.extract_wide(turns_df)
     final_ts = turns_df.groupBy("conv_id").agg(
         F.max("ts").alias("ts"), F.count("*").alias("n_turns")
     )
+    if route_mega and extractor.supports_hybrid():
+        long_df = extractor.extract_hybrid(
+            turns_df,
+            mega_turn_threshold=mega_turn_threshold,
+            counts=final_ts.select(
+                "conv_id", F.col("n_turns").alias("n_t")
+            ),
+        )
+        wide = long_df.groupBy("conv_id").agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("mtf_name", "mtf_val")))
+            ).alias("features")
+        )
+    else:
+        wide = extractor.extract_wide(turns_df)
     return wide.join(final_ts, "conv_id")
 
 

@@ -42,6 +42,22 @@ def mfe_extract_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.extract_hybrid(turns(spark, sf_dir))
 
 
+@register("mfe_extract_hybrid_mega", oracle=None, group=GROUP)
+def mfe_extract_hybrid_mega(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid extraction over the sf turn table UNION a planted
+    200k-turn mega conversation (pymfe_spark.testing.mega_conv_df —
+    deterministic integer recurrences shared with the golden twin).
+    The conversation crosses MEGA_TURN_THRESHOLD, so this query
+    exercises the routed exact+prefix tiers THROUGH a real mega
+    conversation; tests/test_extract_goldens.py pins the full output
+    against a frozen driver-side golden (round-3 verdict item #1)."""
+    from pymfe_spark.testing import mega_conv_df
+
+    ex = MFESpark(groups=("general", "statistical", "info-theory"))
+    t = turns(spark, sf_dir).unionByName(mega_conv_df(spark))
+    return ex.extract_hybrid(t)
+
+
 @register("mfe_extract_distance", oracle=None, group=GROUP)
 def mfe_extract_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clustering + concept + itemset groups (distance-matrix tier)."""

@@ -333,15 +333,22 @@ def extract_hybrid(
     extractor,
     turns_df: DataFrame,
     mega_turn_threshold: int = MEGA_TURN_THRESHOLD,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Route conversations by size: normal -> the unchanged kernel
     path (bit-identical), mega -> exact salted tier + prefix kernel.
-    See the module docstring for the exact/prefix split semantics."""
+    See the module docstring for the exact/prefix split semantics.
+
+    ``counts``: optional precomputed per-conversation turn counts
+    (columns ``conv_id, n_t``). Callers that already aggregate per
+    conversation (the backfill's final-ts pass) hand theirs in so the
+    mega-id detection shares that exchange instead of adding a scan."""
     if extractor.cfg.measure_time is not None:
         raise ValueError("extract_hybrid does not support measure_time")
     if extractor.relative:
         raise ValueError("extract_hybrid does not support the relative group")
-    counts = turns_df.groupBy("conv_id").agg(F.count("*").alias("n_t"))
+    if counts is None:
+        counts = turns_df.groupBy("conv_id").agg(F.count("*").alias("n_t"))
     mega_ids = counts.filter(
         F.col("n_t") > mega_turn_threshold
     ).select("conv_id")

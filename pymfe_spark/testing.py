@@ -56,3 +56,62 @@ def assert_frames_match(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: str
             assert (
                 sv.fillna("·").astype(str) == dv.fillna("·").astype(str)
             ).all(), f"{name}: column {c} values differ"
+
+
+# ---------------------------------------------------------------------
+# planted mega-conversation fixture (round-4): ONE deterministic
+# generator shared by the Spark catalog query (mfe_extract_hybrid_mega)
+# and the driver-side golden twin (tools/freeze_goldens.py), so the
+# hybrid tier's output on a REAL mega conversation is golden-gated.
+# text_len / ts_delta_s are integer-valued doubles: their plain sums
+# are exact in any association order (every partial sum < 2^53), which
+# keeps the frozen comparison tight.
+# ---------------------------------------------------------------------
+
+MEGA_GOLDEN_CONV_ID = "zz_mega_golden"
+MEGA_GOLDEN_TURNS = 200_000
+_MEGA_T0_US = 1735689600_000_000  # 2025-01-01T00:00:00 UTC
+
+
+def mega_conv_pandas(n_turns: int = MEGA_GOLDEN_TURNS) -> pd.DataFrame:
+    """The planted mega conversation as a kernel-ready pandas frame
+    (columns = operators.base.turns output). Pure integer recurrences —
+    no RNG state, bit-identical everywhere."""
+    i = np.arange(n_turns, dtype=np.int64)
+    roles = np.array(["user", "assistant", "system"], dtype=object)
+    tools = np.array([None, "search", "python", None, "exec"], dtype=object)
+    text_len = (1 + (i * 2654435761) % 500).astype(float)
+    delta = (1 + (i * 48271) % 120).astype(float)
+    delta[0] = np.nan  # first turn of a conversation has no lag
+    ts_us = _MEGA_T0_US + np.concatenate(
+        ([0], np.cumsum(delta[1:]).astype(np.int64) * 1_000_000)
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": MEGA_GOLDEN_CONV_ID,
+            "turn_idx": i.astype(np.int32),
+            "role": roles[i % 3],
+            "tool": tools[i % 5],
+            "ts": pd.to_datetime(ts_us, unit="us"),
+            "text_len": text_len,
+            "ts_delta_s": delta,
+        }
+    )
+
+
+def mega_conv_df(spark, n_turns: int = MEGA_GOLDEN_TURNS):
+    """The same fixture as a Spark DataFrame with the exact turns()
+    schema, ready to unionByName with a real turn table."""
+    from pyspark.sql import functions as F
+
+    pdf = mega_conv_pandas(n_turns)
+    df = spark.createDataFrame(pdf)
+    return df.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "role",
+        "tool",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("text_len").cast("double").alias("text_len"),
+        F.col("ts_delta_s").cast("double").alias("ts_delta_s"),
+    )

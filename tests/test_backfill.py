@@ -125,3 +125,80 @@ def test_incremental_delta_matches_full_recompute(spark):
     assert s2["buckets_run"] == []
     assert s2["buckets_skipped"] == s["buckets_run"]
     _clean(out_full, out_inc)
+
+
+def test_backfill_routes_mega_conversation(spark, tmp_path):
+    """Round-4 default routing: a backfill containing a mega
+    conversation sends it through the hybrid tier — exact-tier
+    measures match the driver-side kernel truth on the FULL
+    conversation, prefix-tier measures match the kernel on the
+    capped prefix, and normal conversations stay bit-identical to
+    the unrouted path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pymfe_spark.plans.extractor import extract_at_final_turn
+    from pymfe_spark.plans.hybrid import override_measures, override_names
+    from tests.test_hybrid import _kernel_truth, _synth_turns, _turns_from
+
+    ex = MFESpark(groups=("general", "statistical"), max_kernel_turns=1024)
+    tdf = _turns_from(_synth_turns(spark, mega_n=3001))
+    out_dir = str(tmp_path / "bf_mega")
+    backfill(
+        spark, tdf, out_dir, n_buckets=2, extractor=ex,
+        mega_turn_threshold=500,
+    )
+    rows = read_backfill(spark, out_dir)
+    mega = rows.filter(F.col("conv_id") == "conv_mega").collect()
+    assert len(mega) == 1 and mega[0]["n_turns"] == 3001
+    feats = {
+        n: (float("nan") if v is None else v)
+        for n, v in zip(mega[0]["mtf_names"], mega[0]["mtf_vals"])
+    }
+
+    exact_names = override_names(
+        override_measures(ex), ex.cfg.summaries, ex.cfg.summary_kwargs
+    )
+    full = _kernel_truth(tdf, "conv_mega", ex)
+    prefix = _kernel_truth(tdf, "conv_mega", ex, cap=1024)
+    assert exact_names and set(feats) == set(full)
+    for k, v in full.items():
+        got = feats[k]
+        want = v if k in exact_names else prefix[k]
+        want = float("nan") if want is None else want
+        assert np.isclose(got, want, rtol=1e-9, equal_nan=True), (
+            k, got, want
+        )
+
+    # normal conversations: bit-identical to the unrouted path
+    normal = tdf.filter(F.col("conv_id") != "conv_mega")
+    unrouted = {
+        (r["conv_id"], n): v
+        for r in extract_at_final_turn(
+            normal, ex, route_mega=False
+        ).collect()
+        for n, v in r["features"].items()
+    }
+    routed = {
+        (r["conv_id"], n): v
+        for r in rows.filter(F.col("conv_id") != "conv_mega").collect()
+        for n, v in zip(r["mtf_names"], r["mtf_vals"])
+    }
+    assert set(routed) == set(unrouted)
+    for k, v in unrouted.items():
+        rv = routed[k]
+        assert (rv == v) or (
+            v is None and rv is None
+        ) or (np.isnan(v) and np.isnan(rv)), (k, v, rv)
+
+
+def test_backfill_falls_back_when_hybrid_unsupported(spark, tmp_path):
+    """measure_time configs can't take the hybrid tier — the routed
+    default must fall back to the pure kernel, not raise."""
+    from pymfe_spark.plans.extractor import extract_at_final_turn
+
+    t = turns(spark, SF_SMOKE)
+    ex = MFESpark(groups=("general",), measure_time="avg")
+    assert not ex.supports_hybrid()
+    out = extract_at_final_turn(t, ex)  # route_mega=True default
+    assert out.count() > 0

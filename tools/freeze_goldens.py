@@ -148,6 +148,37 @@ def _twin_confidence(
     return pd.concat(frames, ignore_index=True)
 
 
+def _twin_hybrid_mega(pdf: pd.DataFrame, ex: MFESpark) -> pd.DataFrame:
+    """Driver-side twin of extract_hybrid over (sf turns + the planted
+    200k-turn mega conversation): normal conversations through the
+    kernel twin; the mega conversation's exact-tier measures from the
+    FULL conversation (the kernel computes them O(n), so the full-run
+    kernel IS the exact-tier truth), prefix-tier measures from the
+    first ``max_kernel_turns`` turns — exactly plans/hybrid.py's
+    routing contract."""
+    from pymfe_spark.plans.hybrid import override_measures, override_names
+    from pymfe_spark.testing import mega_conv_pandas
+
+    cols = ["conv_id", "turn_idx", "role", "tool", "text_len", "ts_delta_s"]
+    mega = mega_conv_pandas()[cols]
+    normal_out = _twin_extract(pdf, ex)
+    prefix_out = _twin_extract(
+        mega.iloc[: ex.cfg.max_kernel_turns].reset_index(drop=True), ex
+    )
+    full_out = _twin_extract(mega, ex)
+    exact_names = override_names(
+        override_measures(ex), ex.cfg.summaries, ex.cfg.summary_kwargs
+    )
+    return pd.concat(
+        [
+            normal_out,
+            prefix_out[~prefix_out["mtf_name"].isin(exact_names)],
+            full_out[full_out["mtf_name"].isin(exact_names)],
+        ],
+        ignore_index=True,
+    )
+
+
 def golden_frames(pdf: pd.DataFrame) -> dict[str, pd.DataFrame]:
     """name -> golden frame, mirroring the catalog queries' configs
     (plans/extractor_queries.py) exactly."""
@@ -176,15 +207,21 @@ def golden_frames(pdf: pd.DataFrame) -> dict[str, pd.DataFrame]:
         "zz_mfe_extract_expanding": _twin_expanding(
             pdf, MFESpark(groups=("general",)), stride=8
         ),
+        "zz_mfe_extract_hybrid_mega": _twin_hybrid_mega(
+            pdf, MFESpark(groups=("general", "statistical", "info-theory"))
+        ),
     }
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF_DEFAULT
     out_dir = sys.argv[2] if len(sys.argv) > 2 else OUT_DEFAULT
+    only = set(sys.argv[3:])  # optional: freeze just these names
     os.makedirs(out_dir, exist_ok=True)
     pdf = load_turns_pandas(sf_dir)
     for name, frame in golden_frames(pdf).items():
+        if only and name not in only:
+            continue
         sort_cols = [c for c in ("conv_id", "turn_idx", "mtf_name") if c in frame]
         frame = frame.sort_values(sort_cols).reset_index(drop=True)
         path = os.path.join(out_dir, f"{name}.parquet")
