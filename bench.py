@@ -138,15 +138,17 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # noise. The timed number is the per-scan marginal cost, which is
     # what multiplies at scale.
     timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         df = catalog[name].fn(spark, sf_dir)
         _materialize(df)
-        sec = float("inf")
+        raw: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             _materialize(df)
-            sec = min(sec, time.perf_counter() - t0)
-        timings[name] = round(sec, 3)
+            raw.append(round(time.perf_counter() - t0, 3))
+        passes[name] = raw
+        timings[name] = min(raw)
 
     # backfill throughput: per-turn PIT features + per-conv extraction
     bf_turns, backfill_sec = _backfill(spark, sf_dir, replicate=1)
@@ -163,7 +165,22 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "n_turns": bf_turns,
         "backfill_sec": round(backfill_sec, 3),
         "turns_per_sec": round(bf_turns / backfill_sec, 1),
+        # self-describing artifact (round-3 verdict "What's wrong" #1):
+        # a contended driver capture must be identifiable from the JSON
+        # alone — raw per-pass times expose noise-vs-regression, the
+        # loadavg pair exposes the host condition during the run.
+        "passes": passes,
+        "loadavg_before": _LOADAVG_BEFORE,
+        "loadavg_after": _loadavg(),
     }
+
+
+def _loadavg() -> list[float]:
+    with open("/proc/loadavg") as fh:
+        return [float(x) for x in fh.read().split()[:3]]
+
+
+_LOADAVG_BEFORE = _loadavg()
 
 
 # per-pair input replication: the job's serial JVM overhead (~4 s:
@@ -452,9 +469,16 @@ def run_stream(sf_dir: str, cpus: int, replicate: int) -> dict:
             for p in progress
             if p.get("stateOperators")
         ]
+        # recentProgress caps at ~100 entries, so a long availableNow
+        # run under-reports batch count there; batchId is monotonic
+        # from 0, so the LAST entry's batchId + 1 is the true count
+        # (state_rows_final also reads only the last entry — safe)
+        n_batches = (
+            int(progress[-1]["batchId"]) + 1 if progress else len(progress)
+        )
         out["streams"][name] = {
             "input_rows": n_input,
-            "micro_batches": len(progress),
+            "micro_batches": n_batches,
             "wall_sec": round(wall, 3),
             "rows_per_sec": round(n_input / wall, 1),
             "state_rows_final": state[-1]["numRowsTotal"] if state else None,
