@@ -209,13 +209,16 @@ def test_simhash_pairs_recover_planted_near_dup(spark):
 
 
 def test_ivf_topk_probes_only_two_lists(spark):
-    """IVF results: k rows per query, neighbors drawn from <= nprobe
-    labels per query, and the top-1 within the probed lists agrees with
-    brute force restricted to those lists."""
+    """IVF results: k rows per query, and every neighbor is reachable
+    through one of the query's <= nprobe probed lists under the
+    multi-assignment index (each vector lives in its IVF_SPILL
+    nearest-centroid lists — round-4 recall raise)."""
+    import numpy as np
     import pandas as pd
 
     from pymfe_spark.operators.similarity import (
         IVF_NPROBE,
+        IVF_SPILL,
         N_QUERIES,
         TOP_K,
         sim_ivf_topk,
@@ -224,12 +227,34 @@ def test_ivf_topk_probes_only_two_lists(spark):
     out = sim_ivf_topk(spark, SF_SMOKE).toPandas()
     assert set(out["query_id"]) == set(range(N_QUERIES))
     assert (out.groupby("query_id").size() == TOP_K).all()
+
+    # pandas twin of the index: per-label centroids, spill assignment,
+    # query probes — every returned neighbor must share a probed list
     emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
-    labels = emb.set_index("vec_id")["label"]
-    probed = out.merge(
-        labels.rename("nb_label"), left_on="neighbor_id", right_index=True
+    V = np.stack(emb["embedding"].to_numpy()).astype(float)
+    ids = emb["vec_id"].to_numpy()
+    labs = sorted(emb["label"].unique())
+    cents = np.stack(
+        [V[emb["label"].to_numpy() == l].mean(axis=0) for l in labs]
     )
-    assert (probed.groupby("query_id")["nb_label"].nunique() <= IVF_NPROBE).all()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    sim = Vn @ Cn.T
+    order = np.argsort(-sim, axis=1)
+    assign = {
+        int(ids[i]): {labs[j] for j in order[i, :IVF_SPILL]}
+        for i in range(len(ids))
+    }
+    probes = {
+        int(ids[i]): {labs[j] for j in order[i, :IVF_NPROBE]}
+        for i in range(len(ids))
+        if ids[i] < N_QUERIES
+    }
+    for row in out.itertuples(index=False):
+        assert assign[int(row.neighbor_id)] & probes[int(row.query_id)], (
+            f"neighbor {row.neighbor_id} of query {row.query_id} not in "
+            "any probed list"
+        )
 
 
 def test_kmeans_lloyd_inertia_and_ivf_recall(spark):
