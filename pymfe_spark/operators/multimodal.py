@@ -43,25 +43,32 @@ HAVE_AV = _have("av")
 
 
 def decode_image(payload: bytes) -> "tuple[int, int, int]":
-    """Real decoder entry point: Pillow when importable (optional
-    dependency — absent in this container), else NotImplementedError.
-    The registered stand-in queries use :func:`fake_decode` explicitly
-    (their payloads are text bytes, not images, and their oracles pin
-    the fake's byte contract); this function is exercised by
-    tests/test_multimodal_codec.py on real PNG bytes whenever the
-    codec is importable, and that test SKIPS (never fakes) otherwise."""
-    if not HAVE_PIL:
-        raise NotImplementedError(
-            "image codecs not installed in this environment; "
-            "use fake_decode for plumbing tests"
-        )
-    import io
+    """Real decoder entry point, three tiers (round-3 verdict #6):
+    Pillow when importable (any format, fast); else the vendored
+    pure-python PNG codec (operators/png_codec.py — stdlib zlib, so
+    REAL PNG bytes decode end-to-end even in this container); else
+    NotImplementedError for non-PNG bytes. The registered stand-in
+    queries use :func:`fake_decode` explicitly (their payloads are
+    text bytes, not images, and their oracles pin the fake's byte
+    contract); tests/test_multimodal_codec.py exercises this function
+    on real PNG bytes in every environment via the pure tier."""
+    if HAVE_PIL:
+        import io
 
-    from PIL import Image
+        from PIL import Image
 
-    with Image.open(io.BytesIO(payload)) as im:
-        im.load()
-        return (im.width, im.height, len(im.getbands()))
+        with Image.open(io.BytesIO(payload)) as im:
+            im.load()
+            return (im.width, im.height, len(im.getbands()))
+    from pymfe_spark.operators.png_codec import decode_png, is_png
+
+    if is_png(payload):
+        w, h, ch, _raster = decode_png(payload)
+        return (w, h, ch)
+    raise NotImplementedError(
+        "non-PNG codecs not installed in this environment; "
+        "use fake_decode for plumbing tests"
+    )
 
 
 def fake_decode(payload: bytes) -> "tuple[int, int, int]":
@@ -143,21 +150,38 @@ RESIZE_SCHEMA = (
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Real resize entry point: Pillow decode -> resize -> PNG encode
-    when the codec is importable, else NotImplementedError (see
-    :func:`decode_image` for the optional-dependency contract)."""
-    if not HAVE_PIL:
-        raise NotImplementedError(
-            "image codecs not installed; use fake_resize for plumbing tests"
+    when importable; else the pure-python PNG tier (decode ->
+    nearest-neighbor -> re-encode, operators/png_codec.py) for PNG
+    bytes; else NotImplementedError (see :func:`decode_image` for the
+    tier contract)."""
+    if HAVE_PIL:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            out = im.resize((width, height))
+            buf = io.BytesIO()
+            out.save(buf, format="PNG")
+            return buf.getvalue()
+    from pymfe_spark.operators.png_codec import (
+        decode_png,
+        encode_png,
+        is_png,
+        resize_nearest,
+    )
+
+    if is_png(payload):
+        w, h, ch, raster = decode_png(payload)
+        return encode_png(
+            resize_nearest(raster, w, h, ch, width, height),
+            width,
+            height,
+            ch,
         )
-    import io
-
-    from PIL import Image
-
-    with Image.open(io.BytesIO(payload)) as im:
-        out = im.resize((width, height))
-        buf = io.BytesIO()
-        out.save(buf, format="PNG")
-        return buf.getvalue()
+    raise NotImplementedError(
+        "non-PNG codecs not installed; use fake_resize for plumbing tests"
+    )
 
 
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:

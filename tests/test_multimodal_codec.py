@@ -1,10 +1,13 @@
-"""Real-codec multimodal path (round-2 verdict "Next round" #5).
+"""Real-codec multimodal path (round-2 verdict "Next round" #5;
+PNG tier vendored in round 4 per verdict #6).
 
-When Pillow / PyAV are importable, the REAL decode/resize/frame-sample
-entry points run through the same mapInPandas plumbing as the
-registered stand-in queries; when absent (this container), the tests
-SKIP — they never silently substitute the fakes, so a green run always
-means what it says. The fake path stays oracle-green independently
+The PNG decode/resize paths now run in EVERY environment: Pillow when
+importable, else the vendored pure-python PNG codec
+(operators/png_codec.py) — so real image bytes flow through the same
+mapInPandas plumbing as the registered stand-in queries even in this
+container. Only the video path (PyAV) still SKIPS when absent — it
+never silently substitutes the fakes, so a green run always means
+what it says. The fake path stays oracle-green independently
 (multimodal_meta / zz_multimodal_resize_digest in the catalog)."""
 
 from __future__ import annotations
@@ -25,16 +28,23 @@ from pymfe_spark.operators.multimodal import (
 
 
 def _png_bytes(w: int, h: int, color) -> bytes:
-    import io
+    """Real PNG fixture bytes. Pillow when available (exercises the
+    fast tier against independent encoder output); else the vendored
+    encoder — either way the DECODE under test sees a spec-conformant
+    PNG stream."""
+    if HAVE_PIL:
+        import io
 
-    from PIL import Image
+        from PIL import Image
 
-    buf = io.BytesIO()
-    Image.new("RGB", (w, h), color).save(buf, format="PNG")
-    return buf.getvalue()
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+    from pymfe_spark.operators.png_codec import encode_png
+
+    return encode_png(bytes(color) * (w * h), w, h, 3)
 
 
-@pytest.mark.skipif(not HAVE_PIL, reason="Pillow not installed")
 def test_real_decode_through_mapinpandas(spark):
     rows = [
         (1, _png_bytes(12, 8, (255, 0, 0))),
@@ -51,7 +61,6 @@ def test_real_decode_through_mapinpandas(spark):
     assert out[1].n_bytes == len(rows[0][1])
 
 
-@pytest.mark.skipif(not HAVE_PIL, reason="Pillow not installed")
 def test_real_resize_through_mapinpandas(spark):
     df = spark.createDataFrame(
         [(7, _png_bytes(20, 30, (9, 9, 9)))], "doc_id long, payload binary"
@@ -96,3 +105,130 @@ def test_fake_path_still_used_by_registered_queries(spark):
 
     row = multimodal_meta(spark, SF_SMOKE).limit(1).collect()[0]
     assert row.fake_channels == 3  # the fake's constant, codec or not
+
+
+# ---------------------------------------------------------------------
+# vendored pure-python PNG codec (round-4 verdict #6) — direct tests
+# ---------------------------------------------------------------------
+
+
+def test_png_pure_roundtrip_channels():
+    """encode -> decode is the identity for gray / gray+alpha / RGB /
+    RGBA rasters."""
+    from pymfe_spark.operators.png_codec import decode_png, encode_png
+
+    for ch in (1, 2, 3, 4):
+        w, h = 7, 5
+        raster = bytes((i * 37 + ch) % 256 for i in range(w * h * ch))
+        w2, h2, ch2, out = decode_png(encode_png(raster, w, h, ch))
+        assert (w2, h2, ch2) == (w, h, ch)
+        assert out == raster
+
+
+def test_png_pure_decodes_all_scanline_filters():
+    """The decoder must invert every PNG filter type (0-4). The
+    encoder only emits filter 0, so this test forward-filters rows
+    manually per the spec and asserts the decode recovers the
+    original raster."""
+    import struct
+    import zlib
+
+    from pymfe_spark.operators.png_codec import PNG_SIGNATURE, decode_png
+
+    w, h, ch = 6, 5, 3
+    stride = w * ch
+    raster = bytes((i * 31 + 7) % 256 for i in range(h * stride))
+
+    def fwd(line, prev, f):
+        out = bytearray()
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            x = line[i]
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = (x - a) & 0xFF
+            elif f == 2:
+                v = (x - b) & 0xFF
+            elif f == 3:
+                v = (x - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                )
+                v = (x - pred) & 0xFF
+            out.append(v)
+        return bytes(out)
+
+    prev = bytes(stride)
+    raw = bytearray()
+    for y in range(h):  # one row per filter type, row 0 reuses 0
+        line = raster[y * stride : (y + 1) * stride]
+        f = y % 5
+        raw += bytes([f]) + fwd(line, prev, f)
+        prev = line
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    w2, h2, ch2, out = decode_png(png)
+    assert (w2, h2, ch2) == (w, h, ch)
+    assert out == raster
+
+
+def test_png_pure_rejects_unsupported():
+    """Honest bounds: 16-bit depth and interlace raise, never return
+    garbage."""
+    import struct
+    import zlib
+
+    from pymfe_spark.operators.png_codec import PNG_SIGNATURE, decode_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    for depth, ctype, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        png = (
+            PNG_SIGNATURE
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            decode_png(png)
+    with pytest.raises(ValueError):
+        decode_png(b"JUNKJUNK")
+
+
+def test_resize_nearest_dims_and_identity():
+    from pymfe_spark.operators.png_codec import resize_nearest
+
+    w, h, ch = 4, 4, 3
+    raster = bytes(range(w * h * ch))
+    assert resize_nearest(raster, w, h, ch, w, h) == raster
+    up = resize_nearest(raster, w, h, ch, 8, 2)
+    assert len(up) == 8 * 2 * ch
+    # top-left pixel preserved
+    assert up[:ch] == raster[:ch]
