@@ -55,8 +55,12 @@ DOC_STREAM_SCHEMA = "doc_id long, text string, ts timestamp"
 
 # coarse state rows: enough groups that a single group stays small and
 # skew-free (xxhash64 spreads buckets uniformly), few enough that the
-# per-group Python invocation overhead amortizes over many buckets
-N_STATE_GROUPS = 2048
+# per-group Python invocation overhead amortizes over many buckets.
+# Measured at 200k docs / 4 micro-batches, best-of-3 idle (round 4):
+# one-row-per-bucket 1,099 docs/s -> 2048 groups 3,330 -> 512 groups
+# 3,939; 128 groups was flat vs 512 — past ~512 the floor is the
+# state-store commit + per-batch framework overhead, not group count
+N_STATE_GROUPS = 512
 
 # one coarse row: parallel arrays over the group's buckets; members is
 # the concatenation of all member lists, sliced by offsets (len+1,
