@@ -193,15 +193,33 @@ _LOADAVG_BEFORE = _loadavg()
 SCALING_PAIRS = ((2, 8, 10), (8, 32, 160))
 
 
+def _wait_idle(max_wait_s: float = 900.0, bar: float = 2.0) -> list[float]:
+    """Block until the 1-min loadavg drops below ``bar`` (or the wait
+    budget runs out) and return the loadavg that let us proceed. A
+    scaling level launched while the host is still draining earlier
+    work measures the contention, not the code — the round-4 artifact
+    (2->8 = 0.775 with a 15-min loadavg of 3.5 at launch vs 0.95+
+    idle) is exactly this trap, and a single snapshot at run start
+    cannot see load that arrives between levels."""
+    deadline = time.monotonic() + max_wait_s
+    la = _loadavg()
+    while la[0] >= bar and time.monotonic() < deadline:
+        time.sleep(15)
+        la = _loadavg()
+    return la
+
+
 def run_scaling(sf_dir: str) -> None:
     """Same backfill job at two N -> 4N parallelism pairs on the same
     (replicated) input; efficiency = (T_N / T_4N) / 4 per pair."""
     loadavg = open("/proc/loadavg").read().split()[:3]  # before our load
     levels = sorted({(c, rep) for n, n4, rep in SCALING_PAIRS for c in (n, n4)})
     results: dict[tuple[int, int], dict] = {}
+    level_loads: list[float] = []
     # two interleaved rounds per level, keep the per-level best — host
     # noise hits a contiguous window, not a specific level
     for cpus, rep in list(levels) + list(reversed(levels)):
+        level_loads.append(_wait_idle()[0])
         out = subprocess.run(
             [
                 sys.executable,
@@ -225,9 +243,13 @@ def run_scaling(sf_dir: str) -> None:
         "efficiency": {},
         "throughput_turns_per_sec": {},
         "loadavg_before": loadavg,
+        # 1-min loadavg at each level's launch (post idle-wait): the
+        # honest per-measurement host condition, not a run-start
+        # snapshot that goes stale across a ~45-min protocol
+        "loadavg_per_level": level_loads,
     }
     rows = []
-    window = "idle host" if float(loadavg[1]) < 4 else "contended"
+    window = "idle host" if max(level_loads) < 2.0 else "contended"
     for n, n4, rep in SCALING_PAIRS:
         rn, r4 = results[(n, rep)], results[(n4, rep)]
         eff = (rn["backfill_sec"] / r4["backfill_sec"]) / 4.0
