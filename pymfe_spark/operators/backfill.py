@@ -17,7 +17,7 @@ North-rule requirements implemented here:
   repeated, and re-running a completed backfill is a no-op.
 - **per-partition lineage + metrics**: each bucket commit appends a
   lineage row (bucket id, input rows, output rows, wall seconds,
-  engine version) to ``_lineage/``. Both row counts come from ONE
+  engine version, mega-routing mode) to ``_lineage/``. Both row counts come from ONE
   aggregation over the just-written (small) output — the feature
   vector carries the conversation's turn count, so input accounting
   costs no extra input scan.
@@ -40,9 +40,53 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pymfe_spark.plans.extractor import MFESpark, extract_at_final_turn
+from pymfe_spark.plans.extractor import (
+    MFESpark,
+    effective_routing,
+    extract_at_final_turn,
+)
 
-ENGINE_VERSION = "0.1.0"
+ENGINE_VERSION = "0.2.0"
+
+LINEAGE_SCHEMA = (
+    "bucket int, input_rows long, output_rows long, "
+    "wall_sec double, engine_version string, routing string"
+)
+
+
+def _guard_routing(
+    spark: SparkSession,
+    lineage_dir: str,
+    routing: str,
+    allow_mixed_routing: bool,
+) -> None:
+    """Refuse (by default) to write rows under a routing mode that
+    differs from what the output dir's lineage already records — a dir
+    where some conversations carry hybrid prefix-tier estimates and
+    others full-kernel values would otherwise mix two semantics
+    silently. Lineage rows written before the routing column existed
+    read as null and count as 'unknown' (also a mismatch)."""
+    if not os.path.exists(lineage_dir):
+        return
+    lin = spark.read.option("mergeSchema", "true").parquet(lineage_dir)
+    if "routing" in lin.columns:
+        recorded = {r["routing"] for r in lin.select("routing").distinct().collect()}
+    else:
+        recorded = {None}
+    others = sorted(
+        (r if r is not None else "<unrecorded pre-0.2.0>")
+        for r in recorded
+        if r != routing
+    )
+    if others and not allow_mixed_routing:
+        raise ValueError(
+            f"output dir lineage records routing mode(s) {others} but this "
+            f"run would write '{routing}' — one directory would mix "
+            "hybrid-estimated and full-kernel feature semantics. Re-run "
+            "with the original route_mega/mega_turn_threshold, use a fresh "
+            "output_dir, or pass allow_mixed_routing=True to override "
+            "(the lineage keeps the per-bucket routing audit trail)."
+        )
 
 
 def _bucket_of(col, n_buckets: int):
@@ -73,7 +117,9 @@ def backfill(
     output_dir: str,
     n_buckets: int = 8,
     extractor: MFESpark | None = None,
+    route_mega: bool = True,
     mega_turn_threshold: int | None = None,
+    allow_mixed_routing: bool = False,
 ) -> dict:
     """Run (or resume) a bucketed backfill of per-conversation feature
     vectors into ``output_dir``. Returns a summary dict.
@@ -82,10 +128,17 @@ def backfill(
     so killing the job at any point and re-invoking converges to the
     same output (verified by tests/test_backfill.py including a
     mid-run kill + bit-identical final output).
+
+    ``route_mega``/``mega_turn_threshold`` select the mega-conversation
+    routing (see :func:`effective_routing`); the effective mode is
+    recorded in every lineage row, and a resume under a DIFFERENT mode
+    than the dir already records raises unless ``allow_mixed_routing``.
     """
     extractor = extractor or MFESpark(groups=("general", "statistical"))
+    routing = effective_routing(extractor, route_mega, mega_turn_threshold)
     os.makedirs(output_dir, exist_ok=True)
     lineage_dir = os.path.join(output_dir, "_lineage")
+    _guard_routing(spark, lineage_dir, routing, allow_mixed_routing)
     staging = os.path.join(output_dir, "_staged_input")
     _stage_input(spark, turns_df, staging, n_buckets)
     staged = spark.read.parquet(staging)
@@ -101,7 +154,10 @@ def backfill(
         # partition-pruned: only staging/bucket=k is read
         part = staged.filter(F.col("bucket") == k).drop("bucket")
         vec = extract_at_final_turn(
-            part, extractor, mega_turn_threshold=mega_turn_threshold
+            part,
+            extractor,
+            route_mega=route_mega,
+            mega_turn_threshold=mega_turn_threshold,
         )
         # map<> column -> sorted key/val arrays for a stable parquet
         # schema; n_turns rides along for lineage accounting
@@ -130,12 +186,11 @@ def backfill(
                 int(stats["out_rows"]),
                 round(time.time() - t0, 3),
                 ENGINE_VERSION,
+                routing,
             )
         ]
         spark.createDataFrame(
-            lineage_row,
-            "bucket int, input_rows long, output_rows long, "
-            "wall_sec double, engine_version string",
+            lineage_row, LINEAGE_SCHEMA
         ).write.mode("append").parquet(lineage_dir)
         ran.append(k)
     return {
@@ -154,7 +209,9 @@ def backfill_incremental(
     delta_id: str,
     n_buckets: int = 8,
     extractor: MFESpark | None = None,
+    route_mega: bool = True,
     mega_turn_threshold: int | None = None,
+    allow_mixed_routing: bool = False,
 ) -> dict:
     """Apply an append-only batch of new turns to a completed backfill,
     recomputing feature vectors ONLY for the conversations the delta
@@ -182,14 +239,20 @@ def backfill_incremental(
     Untouched buckets are never read or written. Lineage rows append
     per applied bucket, tagged ``<engine_version>+<delta_id>`` so the
     audit trail distinguishes incremental refreshes from the initial
-    build. Returns a summary dict.
+    build, and carry the effective routing mode: recomputing touched
+    conversations under a different mega-routing than the base build
+    (hybrid prefix-tier estimates vs full-kernel values) would silently
+    mix semantics in one dir, so a routing mismatch raises unless
+    ``allow_mixed_routing=True``. Returns a summary dict.
     """
     extractor = extractor or MFESpark(groups=("general", "statistical"))
+    routing = effective_routing(extractor, route_mega, mega_turn_threshold)
     staging = os.path.join(output_dir, "_staged_input")
     delta_root = os.path.join(output_dir, "_staged_delta")
     delta_dir = os.path.join(delta_root, delta_id)
     lineage_dir = os.path.join(output_dir, "_lineage")
     applied_dir = os.path.join(output_dir, "_applied", delta_id)
+    _guard_routing(spark, lineage_dir, routing, allow_mixed_routing)
     os.makedirs(applied_dir, exist_ok=True)
 
     if not os.path.exists(os.path.join(delta_dir, "_SUCCESS")):
@@ -239,7 +302,10 @@ def backfill_incremental(
             .join(F.broadcast(touched), "conv_id", "semi")
         )
         vec = extract_at_final_turn(
-            part, extractor, mega_turn_threshold=mega_turn_threshold
+            part,
+            extractor,
+            route_mega=route_mega,
+            mega_turn_threshold=mega_turn_threshold,
         )
         new_rows = vec.select(
             "conv_id",
@@ -284,10 +350,10 @@ def backfill_incremental(
                     int(stats["out_rows"]),
                     round(time.time() - t0, 3),
                     f"{ENGINE_VERSION}+{delta_id}",
+                    routing,
                 )
             ],
-            "bucket int, input_rows long, output_rows long, "
-            "wall_sec double, engine_version string",
+            LINEAGE_SCHEMA,
         ).write.mode("append").parquet(lineage_dir)
         with open(marker, "w") as fh:
             fh.write(delta_id)
@@ -310,4 +376,8 @@ def read_backfill(spark: SparkSession, output_dir: str) -> DataFrame:
 
 
 def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(output_dir, "_lineage"))
+    """Lineage audit trail. mergeSchema covers dirs written before the
+    routing column existed (those rows read routing=null = unknown)."""
+    return spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(output_dir, "_lineage")
+    )

@@ -41,9 +41,24 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             payload[pos + 4 : pos + 8],
         )
         pos += 8
+        # never trust the declared length: a truncated or corrupt
+        # stream must surface as the documented ValueError, not a
+        # struct/zlib error from deep inside (ADVICE r4)
+        if length > len(payload) - pos - 4:
+            raise ValueError(
+                f"malformed PNG: {typ!r} chunk declares {length} bytes "
+                f"but only {max(len(payload) - pos - 4, 0)} remain"
+            )
         data = payload[pos : pos + length]
-        pos += length + 4  # + CRC
+        (crc,) = struct.unpack(">I", payload[pos + length : pos + length + 4])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"malformed PNG: {typ!r} chunk CRC mismatch")
+        pos += length + 4
         if typ == b"IHDR":
+            if length != 13:
+                raise ValueError(
+                    f"malformed PNG: IHDR length {length} != 13"
+                )
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -52,7 +67,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         elif typ == b"IEND":
             break
     if w is None:
-        raise ValueError("no IHDR chunk")
+        raise ValueError("malformed PNG: no IHDR chunk")
     if depth != 8 or ctype not in _CHANNELS:
         raise NotImplementedError(
             f"pure-python tier supports 8-bit gray/RGB/alpha PNGs only "
@@ -61,10 +76,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     if interlace:
         raise NotImplementedError("Adam7 interlace not supported")
     ch = _CHANNELS[ctype]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"malformed PNG: IDAT inflate failed ({exc})") from exc
     stride = w * ch
     if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT size does not match dimensions")
+        raise ValueError("malformed PNG: IDAT size does not match dimensions")
     out = bytearray(h * stride)
     prev = bytearray(stride)
     p = 0
@@ -92,7 +110,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 line[i] = (line[i] + pred) & 0xFF
         elif f != 0:
-            raise ValueError(f"invalid scanline filter {f}")
+            raise ValueError(f"malformed PNG: invalid scanline filter {f}")
         out[y * stride : (y + 1) * stride] = line
         prev = line
     return w, h, ch, bytes(out)

@@ -509,7 +509,7 @@ WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
      SELECT e.vec_id, e.v, cvec.label AS list_id,
             row_number() OVER (
               PARTITION BY e.vec_id
-              ORDER BY list_cosine_similarity(e.v, cv) DESC,
+              ORDER BY round(list_cosine_similarity(e.v, cv), 12) DESC,
                        cvec.label ASC) AS ark
      FROM e CROSS JOIN cvec)
    WHERE ark <= {IVF_SPILL}),
@@ -518,7 +518,7 @@ WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
    SELECT query_id, label,
           row_number() OVER (
             PARTITION BY query_id
-            ORDER BY list_cosine_similarity(qv, cv) DESC, label ASC) AS prk
+            ORDER BY round(list_cosine_similarity(qv, cv), 12) DESC, label ASC) AS prk
    FROM q CROSS JOIN cvec),
  probed AS (SELECT query_id, label FROM probes WHERE prk <= {IVF_NPROBE}),
  sims AS (
@@ -566,9 +566,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_cos = _dot(F.col("v"), F.col("cv")) / (
         _norm(F.col("v")) * _norm(F.col("cv"))
     )
+    # rank on the 12-dp-rounded cosine (mirrored in the oracle): raw
+    # float ordering is tie-sensitive at the rank boundary (ark 2 vs 3
+    # under spill), and cross-engine reassociation noise (~1e-15) could
+    # flip a near-tie assignment between Spark and DuckDB (ADVICE r4)
     ark = F.row_number().over(
         Window.partitionBy("vec_id").orderBy(
-            F.desc(cent_cos), F.asc("list_id")
+            F.desc(F.round(cent_cos, 12)), F.asc("list_id")
         )
     )
     assign = (
@@ -586,7 +590,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prk = F.row_number().over(
         Window.partitionBy("query_id").orderBy(
-            F.desc(probe_cos), F.asc("list_id")
+            F.desc(F.round(probe_cos, 12)), F.asc("list_id")
         )
     )
     probed = (

@@ -748,6 +748,30 @@ def _confidence_methods(cls):
 _confidence_methods(MFESpark)
 
 
+def effective_routing(
+    extractor: MFESpark,
+    route_mega: bool = True,
+    mega_turn_threshold: int | None = None,
+) -> str:
+    """The routing mode `extract_at_final_turn` will actually take for
+    this configuration, as a stable string: ``"hybrid@<threshold>"``
+    when mega conversations leave the one-task kernel path, ``"pure"``
+    otherwise. Recorded in backfill lineage rows so an output
+    directory's semantics are auditable (a hybrid-routed mega
+    conversation carries prefix-tier ESTIMATES for holistic measures,
+    a pure-routed one carries full-kernel values)."""
+    if route_mega and extractor.supports_hybrid():
+        from pymfe_spark.plans.hybrid import MEGA_TURN_THRESHOLD
+
+        thr = (
+            mega_turn_threshold
+            if mega_turn_threshold is not None
+            else MEGA_TURN_THRESHOLD
+        )
+        return f"hybrid@{thr}"
+    return "pure"
+
+
 def extract_at_final_turn(
     turns_df: DataFrame,
     extractor: MFESpark | None = None,
@@ -771,7 +795,7 @@ def extract_at_final_turn(
     final_ts = turns_df.groupBy("conv_id").agg(
         F.max("ts").alias("ts"), F.count("*").alias("n_turns")
     )
-    if route_mega and extractor.supports_hybrid():
+    if effective_routing(extractor, route_mega, mega_turn_threshold) != "pure":
         long_df = extractor.extract_hybrid(
             turns_df,
             mega_turn_threshold=mega_turn_threshold,

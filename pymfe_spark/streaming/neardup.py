@@ -31,6 +31,17 @@ per bucket, so total state is bounded by #buckets x cap regardless of
 corpus size — the coarse rows just pack those buckets densely).
 Production composition mirrors exact dedup: LSH screening at the
 ingest front door, global verified dedup in the nightly batch.
+
+.. warning:: **Checkpoint compatibility.** Round 4 changed the
+   stateful operator's grouping key from ``(band, bk)`` to the coarse
+   ``sg`` and replaced ``STATE_SCHEMA`` with the packed parallel-array
+   layout. Spark's state store pins both per checkpoint, so a neardup
+   stream restarted from a pre-round-4 checkpoint fails on a state
+   schema/key mismatch — start the upgraded query with a NEW
+   checkpoint dir (and re-seed from history with a batch backfill if
+   pre-existing bucket membership matters). The public function
+   signatures are otherwise unchanged, which is why this note lives
+   here (ADVICE r4).
 """
 
 from __future__ import annotations

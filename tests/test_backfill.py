@@ -69,8 +69,73 @@ def test_lineage_accounts_for_every_conversation(spark):
     assert lin["input_rows"].sum() == t.count()
     n_convs = t.select("conv_id").distinct().count()
     assert lin["output_rows"].sum() == n_convs
-    assert (lin["engine_version"] == "0.1.0").all()
+    from pymfe_spark.operators.backfill import ENGINE_VERSION
+
+    assert (lin["engine_version"] == ENGINE_VERSION).all()
     assert (lin["wall_sec"] > 0).all()
+    # round-5 (ADVICE): every lineage row records the mega-routing mode
+    assert (lin["routing"] == "hybrid@100000").all()
+
+
+def test_backfill_refuses_mixed_routing(spark, tmp_path):
+    """ADVICE r4 (medium): one output dir must not silently mix
+    hybrid-estimated and full-kernel feature semantics. A resume or an
+    incremental under a different routing mode than the lineage records
+    raises; allow_mixed_routing=True overrides; pre-routing-column dirs
+    count as unknown (also refused)."""
+    import pytest
+    from pymfe_spark.operators.backfill import (
+        LINEAGE_SCHEMA,
+        backfill_incremental,
+    )
+
+    t = turns(spark, SF_SMOKE)
+    ex = MFESpark(groups=("general",))
+    out = str(tmp_path / "bf_mix")
+    backfill(spark, t, out, n_buckets=2, extractor=ex)
+
+    # resume under a different threshold -> different routing string
+    with pytest.raises(ValueError, match="mix"):
+        backfill(
+            spark, t, out, n_buckets=2, extractor=ex,
+            mega_turn_threshold=500,
+        )
+    # incremental under route_mega=False -> 'pure' vs recorded hybrid
+    with pytest.raises(ValueError, match="routing"):
+        backfill_incremental(
+            spark, t.limit(50), out, delta_id="dx", n_buckets=2,
+            extractor=ex, route_mega=False,
+        )
+    # matching mode resumes fine; explicit override also passes
+    s = backfill(spark, t, out, n_buckets=2, extractor=ex)
+    assert s["buckets_run"] == []
+    s2 = backfill(
+        spark, t, out, n_buckets=2, extractor=ex,
+        mega_turn_threshold=500, allow_mixed_routing=True,
+    )
+    assert s2["buckets_run"] == []
+
+    # legacy dir: lineage rows written before the routing column
+    legacy = str(tmp_path / "bf_legacy")
+    backfill(spark, t, legacy, n_buckets=2, extractor=ex)
+    import shutil as _sh
+
+    lin_dir = legacy + "/_lineage"
+    old = read_lineage(spark, legacy).drop("routing")
+    pdf = old.toPandas()
+    _sh.rmtree(lin_dir)
+    spark.createDataFrame(
+        pdf, LINEAGE_SCHEMA.rsplit(", ", 1)[0]
+    ).write.mode("overwrite").parquet(lin_dir)
+    with pytest.raises(ValueError, match="unrecorded"):
+        backfill(spark, t, legacy, n_buckets=2, extractor=ex)
+    # the audit trail stays readable, and a MIXED-era dir (legacy rows
+    # + one routed row) reads legacy rows as routing=null via mergeSchema
+    spark.createDataFrame(
+        [(9, 1, 1, 0.1, "0.2.0", "hybrid@100000")], LINEAGE_SCHEMA
+    ).write.mode("append").parquet(lin_dir)
+    lin = read_lineage(spark, legacy).toPandas()
+    assert lin["routing"].isna().sum() == len(lin) - 1
 
 
 def test_incremental_delta_matches_full_recompute(spark):

@@ -232,3 +232,62 @@ def test_resize_nearest_dims_and_identity():
     assert len(up) == 8 * 2 * ch
     # top-left pixel preserved
     assert up[:ch] == raster[:ch]
+
+
+def test_png_malformed_streams_raise_valueerror():
+    """ADVICE r4: corrupt/truncated streams must surface as the
+    documented ValueError('malformed PNG ...'), never struct.error or
+    zlib.error from inside chunk parsing — and chunk CRCs are checked."""
+    import struct
+    import zlib
+
+    from pymfe_spark.operators.png_codec import (
+        PNG_SIGNATURE,
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(bytes(range(12)), 2, 2, 3)
+
+    # declared chunk length exceeds the remaining payload (the IHDR
+    # header slice would unpack garbage without the bounds check)
+    over = PNG_SIGNATURE + struct.pack(">I", 10_000) + b"IHDR" + b"\x01" * 8
+    with pytest.raises(ValueError, match="malformed PNG"):
+        decode_png(over)
+
+    # truncation mid-IDAT: the length field survives but the data+CRC
+    # tail is cut off
+    with pytest.raises(ValueError, match="malformed PNG"):
+        decode_png(good[: good.index(b"IDAT") + 10])
+
+    # single flipped byte inside IDAT -> CRC mismatch, not zlib.error
+    idat_off = good.index(b"IDAT") + 6
+    corrupt = bytearray(good)
+    corrupt[idat_off] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(corrupt))
+
+    # valid CRC but non-deflate IDAT bytes -> wrapped inflate error
+    bad_idat = zlib.compress(b"x")[:-1] + b"\x00"
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (
+        PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\xff\xff")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflate failed"):
+        decode_png(png)
+
+    # IHDR with a wrong length is named, not unpacked
+    png = PNG_SIGNATURE + chunk(b"IHDR", ihdr[:8]) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(png)
+
+    # and the happy path still decodes after all the guards
+    assert decode_png(good) == (2, 2, 3, bytes(range(12)))

@@ -43,8 +43,10 @@ def main() -> None:
     spark = get_spark(app_name="freeze_spark_goldens")
     for name in FROZEN:
         pdf = catalog[name].fn(spark, sf_dir).toPandas()
+        # 'rk' (not 'rank') is the actual top-k output column — sorting
+        # on it keeps refrozen goldens byte-stable (ADVICE r4)
         sort_cols = [
-            c for c in ("query_id", "vec_id", "rank") if c in pdf.columns
+            c for c in ("query_id", "vec_id", "rk") if c in pdf.columns
         ]
         pdf = pdf.sort_values(sort_cols).reset_index(drop=True)
         path = os.path.join(out_dir, f"{name}.parquet")
