@@ -64,7 +64,12 @@ GROUP BY conv_id
 )
 
 
-@register("mf_class_balance", oracle=_CLASSBAL_ORACLE, group=GROUP)
+@register(
+    "mf_class_balance",
+    oracle=_CLASSBAL_ORACLE,
+    group=GROUP,
+    gate_oracle=False,  # r5 rotation out: recorded 4/4 rounds; pytest enforces
+)
 def mf_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """class_ent (info_theory.py:344-389), nre (clustering.py:878-912,
     natural log), c1/c2 (complexity.py:1966-2045), sc — #classes with
@@ -580,7 +585,12 @@ ON maj.conv_id = mino.conv_id
 )
 
 
-@register("mf_gravity", oracle=_GRAVITY_ORACLE, group=GROUP)
+@register(
+    "mf_gravity",
+    oracle=_GRAVITY_ORACLE,
+    group=GROUP,
+    gate_oracle=False,  # r5 rotation out: recorded 4/4 rounds; pytest enforces
+)
 def mf_gravity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Euclidean distance between majority- and minority-class centroids
     in the (text_len, ts_delta_s) plane — statistical.py:305-407, with

@@ -189,7 +189,12 @@ JOIN gh ON q.conv_id = gh.conv_id
 )
 
 
-@register("mf_stat_robust", oracle=_ROBUST_ORACLE, group=GROUP)
+@register(
+    "mf_stat_robust",
+    oracle=_ROBUST_ORACLE,
+    group=GROUP,
+    gate_oracle=False,  # r5 rotation out: recorded 4/4 rounds; pytest enforces
+)
 def mf_stat_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IQR / MAD / trimmed mean / geometric / harmonic mean / sparsity.
 
@@ -354,7 +359,12 @@ FROM c JOIN o ON c.conv_id = o.conv_id
 )
 
 
-@register("mf_stat_bivar", oracle=_BIVAR_ORACLE, group=GROUP)
+@register(
+    "mf_stat_bivar",
+    oracle=_BIVAR_ORACLE,
+    group=GROUP,
+    gate_oracle=False,  # r5 rotation out: recorded 4/4 rounds; pytest enforces
+)
 def mf_stat_bivar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation + sample covariance of (text_len, ts_delta_s)
     and boxplot-outlier column count (whis=1.5).

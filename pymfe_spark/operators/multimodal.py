@@ -243,7 +243,6 @@ FROM documents
     "multimodal_resize_digest",
     oracle=_RESIZE_DIGEST_ORACLE,
     group=GROUP,
-    gate_oracle=False,  # gate's 50 oracle slots are full; pytest enforces
 )
 def multimodal_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multimodal_resize with the binary column digested to md5 — this

@@ -116,7 +116,7 @@ GROUP BY shard
 """
 
 
-@register("pack_yield", oracle=_PACK_YIELD_ORACLE, group=GROUP, gate_oracle=False)
+@register("pack_yield", oracle=_PACK_YIELD_ORACLE, group=GROUP)
 def pack_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing yield report per shard: docs, tokens, full training
     sequences produced, and the fill fraction of the tail chunk (the

@@ -242,7 +242,6 @@ WHERE ((({_A} * t.doc_id + {_B}) % {_P} + {_P}) % {_P}) % {_SCALE}
     "sample_mixture",
     oracle=_MIXTURE_ORACLE,
     group=GROUP,
-    gate_oracle=False,  # gate's 50 oracle slots are full; pytest enforces
 )
 def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture rebalance at half the corpus token budget:

@@ -379,6 +379,7 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {EMB_DEDUP_TAU}
     oracle=_EMB_DEDUP_ORACLE.format(
         planes1=_planes_sql(), planes2=_planes2_sql()
     ),
+    gate_oracle=False,  # r5 rotation out: recorded 4/4 rounds; pytest enforces
     group="dedup",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -111,7 +111,12 @@ def sessionized(spark: SparkSession, sf_dir: str, gap_s: float = SESSION_GAP_S) 
     )
 
 
-@register("sessionize_turns", oracle=_SESSIONIZE_ORACLE, group=GROUP)
+@register(
+    "sessionize_turns",
+    oracle=_SESSIONIZE_ORACLE,
+    group=GROUP,
+    gate_oracle=False,  # r5 rotation out: recorded 4/4 rounds; pytest enforces
+)
 def sessionize_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn session assignment (north_star 'sessionized gap stats'):
     a new session opens when the inter-turn gap exceeds 1800 s. Running
@@ -396,7 +401,6 @@ FROM cums c JOIN ent e ON c.conv_id = e.conv_id AND c.turn_idx = e.turn_idx
     "expanding_mfe_sql",
     oracle=_EXPANDING_MFE_ORACLE,
     group=GROUP,
-    gate_oracle=False,  # gate's 50 oracle slots are full; pytest enforces
 )
 def expanding_mfe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn (stride-1) algebraic meta-feature vector, pure SQL

@@ -365,7 +365,6 @@ GROUP BY source, lang
     "pipeline_training_data",
     oracle=_PIPELINE_ORACLE,
     group=GROUP,
-    gate_oracle=False,  # gate's 50 oracle slots are full; pytest enforces
 )
 def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation in ONE declarative plan:
@@ -598,7 +597,6 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_stats_bpe",
     oracle=_BPE_ORACLE,
     group=GROUP,
-    gate_oracle=False,  # gate's 50 oracle slots are full; pytest enforces
 )
 def text_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting under the BPE-ish pre-tokenizer: token count,

@@ -157,7 +157,12 @@ GROUP BY conv_id, ent.class_ent
 )
 
 
-@register("mfe_kernel_cross_check", oracle=_CROSS_ORACLE, group=GROUP)
+@register(
+    "mfe_kernel_cross_check",
+    oracle=_CROSS_ORACLE,
+    group=GROUP,
+    gate_oracle=False,  # r5 rotation out: recorded 4/4 rounds; pytest enforces
+)
 def mfe_kernel_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-kernel outputs pivoted to columns and checked against a
     pure-SQL oracle: nr_inst, nr_class, class_ent (role entropy), and
@@ -464,7 +469,6 @@ FROM onea JOIN twoa USING (conv_id)
     "mfe_kernel_itemset_check",
     oracle=_ITEMSET_CHECK_ORACLE,
     group=GROUP,
-    gate_oracle=False,  # gate's 50 oracle slots are full; pytest enforces
 )
 def mfe_kernel_itemset_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Itemset-tier cross-check: with transform_num=False the C view is

@@ -38,11 +38,17 @@ def _flagship_oracle() -> str:
     ``n`` is excluded to mirror the Spark ``.drop("n")``."""
     from pymfe_spark.plans.catalog import CATALOG
 
-    g = CATALOG["mf_general"].oracle
-    c = CATALOG["mf_stat_central"].oracle
-    s = CATALOG["mf_stat_shape"].oracle
-    b = CATALOG["mf_class_balance"].oracle
-    j = CATALOG["mf_info_joint"].oracle
+    def _oracle(name: str) -> str:
+        # gate rotation moves a query between <name> and zz_<name>;
+        # the component oracle is the same either way
+        entry = CATALOG.get(name) or CATALOG[f"zz_{name}"]
+        return entry.oracle
+
+    g = _oracle("mf_general")
+    c = _oracle("mf_stat_central")
+    s = _oracle("mf_stat_shape")
+    b = _oracle("mf_class_balance")
+    j = _oracle("mf_info_joint")
     return f"""
 SELECT *
 FROM ({g}) g
