@@ -216,9 +216,11 @@ def run_scaling(sf_dir: str) -> None:
     levels = sorted({(c, rep) for n, n4, rep in SCALING_PAIRS for c in (n, n4)})
     results: dict[tuple[int, int], dict] = {}
     level_loads: list[float] = []
-    # two interleaved rounds per level, keep the per-level best — host
-    # noise hits a contiguous window, not a specific level
-    for cpus, rep in list(levels) + list(reversed(levels)):
+    # three interleaved rounds per level, keep the per-level best — host
+    # noise hits a contiguous window, not a specific level, and (round
+    # 5) a single contended window sank an entire pair under best-of-2:
+    # foreign load arriving MID-level passes the launch-time idle gate
+    for cpus, rep in list(levels) + list(reversed(levels)) + list(levels):
         level_loads.append(_wait_idle()[0])
         out = subprocess.run(
             [
@@ -548,6 +550,27 @@ def run_stream(sf_dir: str, cpus: int, replicate: int) -> dict:
         n_docs,
         "append",
     )
+    # TWS twin LAST: its helper switches the session state-store
+    # provider to RocksDB (a transformWithStateInPandas requirement),
+    # which later-started stateful queries would inherit. Skipped
+    # where google.protobuf (the TWS state-server wire protocol) is
+    # absent — mirrored by the skip-not-fake pytest contract.
+    from pymfe_spark.streaming.neardup import (
+        TWS_AVAILABLE,
+        streaming_neardup_candidates_tws,
+    )
+
+    if TWS_AVAILABLE:
+        drive(
+            streaming_neardup_candidates_tws(
+                spark, ddir, max_files_per_trigger=4
+            ),
+            "neardup_tws",
+            n_docs,
+            "append",
+        )
+    else:
+        out["neardup_tws"] = {"skipped": "google.protobuf unavailable"}
     spark.stop()
     return out
 

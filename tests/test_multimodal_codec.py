@@ -268,8 +268,6 @@ def test_png_malformed_streams_raise_valueerror():
         decode_png(bytes(corrupt))
 
     # valid CRC but non-deflate IDAT bytes -> wrapped inflate error
-    bad_idat = zlib.compress(b"x")[:-1] + b"\x00"
-
     def chunk(typ, data):
         return (
             struct.pack(">I", len(data)) + typ + data
