@@ -22,7 +22,19 @@ expressions so both engines evaluate the identical float tree;
 outputs round at 4 decimals (the kernel cross-check precedent: global
 float aggregation agrees across engines to ~1 ulp, and a 4-decimal
 boundary flip at 1-ulp input distance is negligible — BENCH.md
-"Correctness at scale")."""
+"Correctness at scale").
+
+Known benign log line: the FINAL explode projection (16 struct fields,
+each inlining the fixed-order sd/cov/cor float trees) exceeds Janino's
+method-size limit, so Spark logs ``ERROR CodeGenerator: Failed to
+compile`` once and falls back to interpreted projection FOR THAT
+OPERATOR ONLY. It runs downstream of both aggregation passes, i.e. on
+one row per group (1-3 rows here), so the fallback costs microseconds
+at any input scale; the scan-side aggregations still whole-stage-
+codegen. Rewriting the summaries as higher-order-function let-bindings
+would shrink the tree but HOFs are themselves CodegenFallback, so the
+projection would be interpreted either way — the explicit tree keeps
+both engines' float semantics identical, which is the priority."""
 
 from __future__ import annotations
 
