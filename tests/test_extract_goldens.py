@@ -46,6 +46,45 @@ GOLDEN_QUERIES = (
 # every other row in the frame still matches far tighter in practice
 RTOL = {"zz_mfe_extract_hybrid_mega": 1e-9}
 
+# Measures whose kernels route through LAPACK (eigh / svd / det /
+# pinv): deterministic within one host but NOT across BLAS builds or
+# CPU dispatch paths. Round-5 re-verification on a different
+# microarchitecture measured up to 8.7e-10 relative drift in the
+# can-cor family on a clean git tree — and the numpy twin itself,
+# re-run on the new host (tools/freeze_goldens.py replay), reproduced
+# the SAME six drifted values while every non-LAPACK value in all ten
+# goldens stayed 1e-12-tight. So the Spark path remains bit-faithful
+# to its twin; only the eigensolver's answer moved between hosts.
+# 1e-7 keeps ~100x headroom over observed drift and is still four
+# orders tighter than the reference's own test tolerance (rtol=0.05 /
+# atol=1e-3, /root/reference/tests/test_statistical.py:213-215).
+LAPACK_RTOL = 1e-7
+LAPACK_MEASURES = frozenset(
+    (
+        "can_cor",  # eigen-CCA (eigh + svd)
+        "eigenvalues",  # np.linalg.eigvalsh of cov
+        "lh_trace",  # can-cor eigenvalue functionals
+        "p_trace",
+        "roy_root",
+        "w_lambda",
+        "sd_ratio",  # per-class/pooled covariance determinants
+        "f1v",  # pinv-scatter direction (complexity)
+        "t2",  # eigen-PCA 95%-variance dimensionality family
+        "t3",
+        "t4",
+        "linear_discr",  # pooled-covariance pinv (landmarking)
+    )
+)
+
+
+def _per_row_tol(name: str, frame: pd.DataFrame) -> np.ndarray:
+    base = np.full(len(frame), RTOL.get(name, 1e-12))
+    if "mtf_name" in frame.columns:
+        fam = frame["mtf_name"].str.split(".").str[0]
+        lapack = fam.isin(LAPACK_MEASURES).to_numpy()
+        base = np.where(lapack, np.maximum(base, LAPACK_RTOL), base)
+    return base
+
 CATALOG = load_catalog()
 
 
@@ -72,11 +111,17 @@ def test_extract_output_matches_frozen_golden(spark, name):
             a = g[c].astype(float).to_numpy()
             b = w[c].astype(float).to_numpy()
             # the Spark path runs the SAME kernels on the SAME float64
-            # inputs — tolerance only covers libm differences across
-            # environments (and, for the mega query, summation-order
-            # reassociation in the salted exact tier), not real drift
-            tol = RTOL.get(name, 1e-12)
-            bad = ~np.isclose(a, b, rtol=tol, atol=tol, equal_nan=True)
+            # inputs — tolerance only covers libm/LAPACK differences
+            # across environments (and, for the mega query,
+            # summation-order reassociation in the salted exact tier),
+            # not real drift; LAPACK-backed rows get LAPACK_RTOL
+            tol = _per_row_tol(name, w)
+            # np.isclose rejects an array rtol when non-finite values
+            # are present (it subsets x[finite] but not rtol), so the
+            # |a-b| <= atol + rtol*|b| check is spelled out elementwise
+            with np.errstate(invalid="ignore"):
+                close = np.abs(a - b) <= tol * (1.0 + np.abs(b))
+            bad = ~(close | (a == b) | (np.isnan(a) & np.isnan(b)))
             assert not bad.any(), (
                 f"{name}: {bad.sum()} values differ in {c}; first at "
                 f"{w.loc[np.argmax(bad), [k for k in ('conv_id', 'mtf_name') if k in w]].tolist()}: "
