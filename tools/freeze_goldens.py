@@ -12,6 +12,15 @@ mfe_extract outputs.
 
 Usage:  python tools/freeze_goldens.py [sf_dir] [out_dir]
 Defaults: /root/testdata/sf0.001 -> tests/goldens/
+
+Host-dependence caveat (round 5): LAPACK-routed kernels (eigh / svd /
+det / pinv — the can_cor/eigenvalues/sd_ratio families) are
+deterministic on one host but can drift ~1e-9 relative across BLAS
+builds / CPU dispatch paths; the frozen values embed the freezing
+host's eigensolver answers. tests/test_extract_goldens.py therefore
+compares those measure families at LAPACK_RTOL (1e-7) and everything
+else at 1e-12 — do NOT refreeze just to chase a cross-host LAPACK
+diff, it would churn the binary files without fixing anything.
 """
 
 from __future__ import annotations
