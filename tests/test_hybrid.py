@@ -126,6 +126,28 @@ def _kernel_truth(tdf, conv_id: str, ex, cap: int | None = None):
     return {r.mtf_name: r.mtf_val for r in out.itertuples(index=False)}
 
 
+def test_mega_fixture_distributed_and_bit_identical(spark):
+    """The planted mega conversation must be task-side generated (no
+    fixture bytes in the task binary) and bit-identical to its pandas
+    twin — the frozen hybrid golden depends on both."""
+    from pymfe_spark.testing import mega_conv_df, mega_conv_pandas
+
+    n = 60_000
+    df = mega_conv_df(spark, n)
+    assert df.rdd.getNumPartitions() > 1, "fixture must generate distributed"
+    got = df.toPandas().sort_values("turn_idx").reset_index(drop=True)
+    exp = mega_conv_pandas(n)
+    assert len(got) == n
+    for c in ("text_len", "ts_delta_s"):
+        assert np.array_equal(
+            got[c].to_numpy(), exp[c].to_numpy(), equal_nan=True
+        ), c
+    assert (got["ts"].to_numpy() == exp["ts"].to_numpy()).all()
+    for c in ("conv_id", "turn_idx", "role"):
+        assert got[c].astype(str).equals(exp[c].astype(str)), c
+    assert got["tool"].fillna("·").equals(exp["tool"].fillna("·"))
+
+
 def test_hybrid_bit_identical_on_normal_data(spark):
     """No conversation crosses the threshold -> the hybrid IS the
     kernel path, bit for bit."""
