@@ -173,3 +173,91 @@ def test_concentration_bounds_and_identity(a, b):
         # skew (~1e-6 at n~50 with a 50:1 split), so the identity is
         # approximate by design
         assert abs(_conc(a, a) - 1.0) < 5e-5
+
+
+# ---------------------------------------------------------------------
+# vendored PNG codec (operators/png_codec.py): fuzz the whole byte
+# surface. The decode contract is "ValueError (or NotImplementedError
+# for unsupported-but-valid features) on ANY malformed stream, never a
+# struct/zlib/Index error from deep inside" — the round-4 ADVICE fix.
+# ---------------------------------------------------------------------
+
+from pymfe_spark.operators.png_codec import (  # noqa: E402
+    decode_png,
+    encode_png,
+    resize_nearest,
+)
+
+
+@given(
+    st.integers(1, 9),
+    st.integers(1, 9),
+    st.sampled_from([1, 2, 3, 4]),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_arbitrary_rasters(w, h, ch, data):
+    """encode -> decode is the identity for every 8-bit raster shape."""
+    raster = data.draw(
+        st.binary(min_size=w * h * ch, max_size=w * h * ch)
+    )
+    assert decode_png(encode_png(raster, w, h, ch)) == (w, h, ch, raster)
+
+
+def _fixed_png() -> bytes:
+    raster = bytes((i * 37 + 11) % 256 for i in range(6 * 5 * 3))
+    return encode_png(raster, 6, 5, 3)
+
+
+@given(st.integers(0, 10_000), st.integers(0, 255))
+@settings(max_examples=200, deadline=None)
+def test_png_single_byte_corruption_never_escapes(pos, b):
+    """Flipping any one byte either leaves the stream valid (no-op
+    mutation) or raises the documented error types — nothing else."""
+    payload = bytearray(_fixed_png())
+    pos %= len(payload)
+    payload[pos] = b
+    try:
+        got = decode_png(bytes(payload))
+    except (ValueError, NotImplementedError):
+        return
+    assert got == decode_png(_fixed_png())
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=120, deadline=None)
+def test_png_truncation_never_escapes(k):
+    """Every prefix either decodes to the true image (cut after the
+    last IDAT) or raises the documented error types."""
+    payload = _fixed_png()
+    k %= len(payload)
+    try:
+        got = decode_png(payload[:k])
+    except (ValueError, NotImplementedError):
+        return
+    assert got == decode_png(payload)
+
+
+@given(
+    st.integers(1, 8),
+    st.integers(1, 8),
+    st.sampled_from([1, 3]),
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_resize_nearest_pixel_membership(w, h, ch, ow, oh, data):
+    """Nearest-neighbor output contains only pixels present in the
+    input (no interpolation), at the exact output size."""
+    raster = data.draw(st.binary(min_size=w * h * ch, max_size=w * h * ch))
+    out = resize_nearest(raster, w, h, ch, ow, oh)
+    assert len(out) == ow * oh * ch
+    in_px = {
+        raster[(y * w + x) * ch : (y * w + x + 1) * ch]
+        for y in range(h)
+        for x in range(w)
+    }
+    for y in range(oh):
+        for x in range(ow):
+            assert out[(y * ow + x) * ch : (y * ow + x + 1) * ch] in in_px
