@@ -386,7 +386,13 @@ def run_skew(sf_dir: str, cpus: int, replicate: int, mega: int) -> dict:
     from pymfe_spark.operators.base import turns
     from pymfe_spark.plans.extractor import MFESpark
 
-    skew_dir = os.path.join("/tmp", f"pymfe_skew_r{replicate}_m{mega}")
+    # cache key must include the source dir: without it a dir generated
+    # from sf0.01 silently serves an sf0.1 invocation (observed — 1.4M
+    # turns where the protocol expects 5M)
+    src_tag = os.path.basename(os.path.normpath(sf_dir))
+    skew_dir = os.path.join(
+        "/tmp", f"pymfe_skew_{src_tag}_r{replicate}_m{mega}"
+    )
     marker = os.path.join(skew_dir, "_DONE")
     spark = get_spark(app_name="pymfe_spark_skew", cpus=cpus)
     if not os.path.exists(marker):
@@ -415,6 +421,13 @@ def run_skew(sf_dir: str, cpus: int, replicate: int, mega: int) -> dict:
         time.sleep(0.5)
         after = _completed_stages(spark)
         worst = {"ratio": 0.0}
+        # the gate-factor ratio under-reports a straggler when EVERY
+        # task in its stage is heavy (max/ideal stays ~1-2 even though
+        # the max task gates the job wall) and over-weights tiny stages
+        # (a 2 s task over a 0.2 s-ideal stage prints ratio 10). Record
+        # the single largest task across substantial stages too — the
+        # direct wall-gating evidence.
+        biggest = {"max_ms": 0.0}
         for sid, s in after.items():
             # >= 4 tasks: the kernel stage can run below core count
             # when kernel_partitions derives a small count — skipping
@@ -439,10 +452,18 @@ def run_skew(sf_dir: str, cpus: int, replicate: int, mega: int) -> dict:
                     "ideal_parallel_ms": round(ideal_ms, 1),
                     **{k: round(v, 1) for k, v in ts_.items()},
                 }
+            if ts_["max_ms"] > biggest["max_ms"]:
+                biggest = {
+                    "stage": sid,
+                    "tasks": s["numCompleteTasks"],
+                    "ideal_parallel_ms": round(ideal_ms, 1),
+                    **{k: round(v, 1) for k, v in ts_.items()},
+                }
         out["paths"][label] = {
             "wall_sec": round(wall, 3),
             "turns_per_sec": round(n_turns / wall, 1),
             "worst_straggler": worst,
+            "biggest_task": biggest,
         }
     t.unpersist()
     spark.stop()
